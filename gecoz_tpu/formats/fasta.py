@@ -1,0 +1,147 @@
+"""FASTA / FASTQ reading and FASTA writing.
+
+Matches the reference's parsing semantics (nova-formats fasta/
+FastaIterator.java:28-137): records start at '>' or '@', FASTQ quality
+sections ('+') are skipped, CR/LF are stripped, and header text is the full
+line after the marker.  Output matches FastaFileWriter.java:30-224:
+50-character lines, each newline-terminated — including its quirk of an
+extra blank line when the sequence length is an exact multiple of 50 (the
+reserved mmap region is ``len + len/50 + 1`` bytes, FastaFileWriter.java:142).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+LINE_LENGTH = 50
+
+
+@dataclass
+class FastaSequence:
+    header: str
+    length: int
+    position: int            # byte offset of sequence data in the file
+    multiline: bool
+    data: np.ndarray | None = None
+
+    def sort_key(self):
+        """TFastaSequence.compareTo: length desc, then header asc."""
+        return (-self.length, self.header)
+
+
+def _open_maybe_gzip(path: Path):
+    """Return a binary stream; transparently inflates gzip/BGZF input using
+    our own codec (FastaFileReader.java:70-81 trial-open behavior)."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        from gecoz_tpu.codec.gzip_file import GzipFileReader
+        data = GzipFileReader(path).read_all()
+        f.close()
+        return io.BytesIO(data)
+    return f
+
+
+def iter_fasta(path: str | Path, lazy: bool = False) -> Iterator[FastaSequence]:
+    """Stream records; with lazy=True sequence bytes are not materialized
+    (headers + positions only), mirroring FastaFileReader's lazy mode."""
+    path = Path(path)
+    with _open_maybe_gzip(path) as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ch = data[pos]
+        if ch not in (ord(">"), ord("@")):
+            pos += 1
+            continue
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            break
+        header = data[pos + 1:eol].rstrip(b"\r").decode()
+        pos = eol + 1
+        seq_start = pos
+        lines = 0
+        chunks = []
+        length = 0
+        while pos < n and data[pos] not in (ord(">"), ord("@"), ord("+")):
+            eol = data.find(b"\n", pos)
+            if eol < 0:
+                eol = n
+            line = data[pos:eol].rstrip(b"\r")
+            if line:
+                lines += 1
+                length += len(line)
+                if not lazy:
+                    chunks.append(line)
+            pos = eol + 1
+        if pos < n and data[pos] == ord("+"):
+            # FASTQ: skip the quality block (same #bytes as the sequence)
+            eol = data.find(b"\n", pos)
+            pos = eol + 1 if eol >= 0 else n
+            qlen = 0
+            qlines = 0
+            while pos < n and (qlen < length and qlines < lines):
+                eol = data.find(b"\n", pos)
+                if eol < 0:
+                    eol = n
+                qlen += len(data[pos:eol].rstrip(b"\r"))
+                qlines += 1
+                pos = eol + 1
+        seq = None
+        if not lazy:
+            seq = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        yield FastaSequence(header=header, length=length, position=seq_start,
+                            multiline=lines > 1, data=seq)
+
+
+def read_sequence(path: str | Path, seq: FastaSequence) -> np.ndarray:
+    """Materialize a lazily-scanned sequence."""
+    if seq.data is not None:
+        return seq.data
+    with _open_maybe_gzip(Path(path)) as f:
+        f.seek(seq.position)
+        out = bytearray()
+        while len(out) < seq.length:
+            line = f.readline()
+            if not line:
+                break
+            out += line.rstrip(b"\r\n")
+    return np.frombuffer(bytes(out[:seq.length]), dtype=np.uint8)
+
+
+def format_fasta_record(header: str, data: np.ndarray | bytes) -> bytes:
+    """One output record in the reference's exact byte layout."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray()
+    out += b">" + header.encode() + b"\n"
+    for i in range(0, n, LINE_LENGTH):
+        out += data[i:i + LINE_LENGTH]
+        out += b"\n"
+    if n % LINE_LENGTH == 0 and n > 0:
+        out += b"\n"   # FastaFileWriter's reserved-size quirk
+    return bytes(out)
+
+
+class FastaWriter:
+    def __init__(self, path: str | Path):
+        self.f = open(path, "wb")
+
+    def write(self, header: str, data) -> None:
+        self.f.write(format_fasta_record(header, data))
+
+    def close(self) -> None:
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

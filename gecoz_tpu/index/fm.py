@@ -1,0 +1,233 @@
+"""Generalized FM-index over one block: count / search / locate / extract.
+
+Host (numpy) engine, semantics matching GSSA (nova-algo ssa/GSSA.java:39-252)
+with one deliberate fix: LF steps from rows whose BWT symbol is the ``\\0``
+separator are corrected for the wrap-around row (the row with SA value 0,
+whose BWT byte is the final terminator rather than a real predecessor).  The
+reference's plain ``c[0] + rank`` step is only consistent when the block's
+first sequence happens to be lexicographically minimal among all sequence
+starts; the corrected step
+
+    LF(i) = 1 + rank0(i) - (wrap_row < i)        for BWT[i] == 0, i != wrap
+
+is exact for every input (the target rows of non-wrap separator sources are
+rows 1..nseq-1 in source order; row 0 is the final terminator, the wrap
+row's own target).  Searching (`occ`-only) is unaffected.
+
+The TPU query engine in `gecoz_tpu.ops.fmq` implements the same math over
+device arrays; this class is the exact host reference and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gecoz_tpu.index.hswt import HSWT
+from gecoz_tpu.index.ssa import SampledSAIndex
+
+
+class FMIndex:
+    def __init__(self, hswt: HSWT, index: SampledSAIndex,
+                 bwt: np.ndarray | None = None):
+        self.hswt = hswt
+        self.index = index
+        self.length = hswt.shape.length
+        self._bwt = bwt
+        self._lf: np.ndarray | None = None
+        self._c: np.ndarray | None = None
+        self._e: np.ndarray | None = None
+        self._wrap: int | None = None
+
+    # -- lazy derived state ------------------------------------------------
+
+    @property
+    def bwt(self) -> np.ndarray:
+        if self._bwt is None:
+            self._bwt = self.hswt.decode_bwt()
+        return self._bwt
+
+    @property
+    def c(self) -> np.ndarray:
+        """c[ch] = number of BWT symbols < ch (GSSA.index():215-226)."""
+        if self._c is None:
+            counts = np.bincount(self.bwt, minlength=256).astype(np.int64)
+            self._c = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        return self._c
+
+    @property
+    def nseq(self) -> int:
+        return int(self.c[1]) if self.length else 0
+
+    @property
+    def wrap_row(self) -> int:
+        """Row whose SA value is 0 (always sampled: 0 % rate == 0)."""
+        if self._wrap is None:
+            self._wrap = int(np.asarray(self.index.find(np.int64(0))))
+        return self._wrap
+
+    @property
+    def lf(self) -> np.ndarray:
+        """Full LF-mapping table with the separator correction applied."""
+        if self._lf is None:
+            bwt = self.bwt
+            n = self.length
+            lf = np.zeros(n, dtype=np.int64)
+            order = np.argsort(bwt, kind="stable")
+            lf[order] = np.arange(n, dtype=np.int64)
+            zero_rows = np.flatnonzero(bwt == 0)
+            if len(zero_rows):
+                occ0 = np.arange(len(zero_rows), dtype=np.int64)
+                corr = 1 + occ0 - (self.wrap_row < zero_rows)
+                lf[zero_rows] = corr
+                # the wrap row's cyclic target is row 0 (the final terminator)
+                lf[self.wrap_row] = 0
+            self._lf = lf
+        return self._lf
+
+    @property
+    def e(self) -> np.ndarray:
+        """Sorted global positions of the sequence terminators
+        (GSSA.index():232-238)."""
+        if self._e is None:
+            rows = np.arange(self.nseq, dtype=np.int64)
+            self._e = np.sort(self.locate(rows))
+        return self._e
+
+    def seq_bounds(self, nstr: int) -> tuple[int, int]:
+        """[start, end) of sequence nstr in the generalized string
+        (end = terminator position)."""
+        e = self.e
+        start = int(e[nstr - 1]) + 1 if nstr > 0 else 0
+        return start, int(e[nstr])
+
+    def seq_length(self, nstr: int) -> int:
+        b, t = self.seq_bounds(nstr)
+        return t - b
+
+    # -- queries -----------------------------------------------------------
+
+    def occ(self, symbol: int, pos) -> np.ndarray:
+        return self.hswt.occ_batch(symbol, pos)
+
+    def search_range(self, pattern: bytes) -> tuple[int, int]:
+        """Backward search; returns [sp, ep] inclusive (GSSA.search:187-197)."""
+        c = self.c
+        ch = pattern[-1]
+        sp = int(c[ch])
+        ep = int(c[ch + 1]) - 1 if ch < 255 else self.length - 1
+        for i in range(len(pattern) - 2, -1, -1):
+            if sp > ep:
+                break
+            ch = pattern[i]
+            sp = int(c[ch]) + int(self.occ(ch, np.int64(sp - 1))) + 1
+            ep = int(c[ch]) + int(self.occ(ch, np.int64(ep)))
+        return sp, ep
+
+    def locate(self, rows: np.ndarray) -> np.ndarray:
+        """SA values for `rows`, batched LF walks to the nearest sample
+        (GSSA.locate:241-251, corrected LF)."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        idx = rows.copy()
+        steps = np.zeros(len(rows), dtype=np.int64)
+        out = np.full(len(rows), -1, dtype=np.int64)
+        live = np.ones(len(rows), dtype=bool)
+        lf = self.lf
+        while live.any():
+            sa_val = np.asarray(self.index.get(idx))
+            hit = live & (sa_val >= 0)
+            out[hit] = sa_val[hit] + steps[hit]
+            live &= ~hit
+            if not live.any():
+                break
+            idx[live] = lf[idx[live]]
+            steps[live] += 1
+        return out
+
+    def find(self, pattern: bytes) -> dict[int, np.ndarray]:
+        """Per-sequence match positions (GSSA.find:160-185)."""
+        sp, ep = self.search_range(pattern)
+        if ep < sp:
+            return {}
+        hits = np.sort(self.locate(np.arange(sp, ep + 1, dtype=np.int64)))
+        res: dict[int, np.ndarray] = {}
+        e = self.e
+        idx1 = 0
+        for i in range(len(e)):
+            idx2 = int(np.searchsorted(hits, e[i], side="left"))
+            if idx2 > idx1:
+                base = int(e[i - 1]) + 1 if i > 0 else 0
+                res[i] = hits[idx1:idx2] - base
+                idx1 = idx2
+        return res
+
+    def count(self, pattern: bytes) -> dict[int, int]:
+        return {k: len(v) for k, v in self.find(pattern).items()}
+
+    def count_total(self, pattern: bytes) -> int:
+        sp, ep = self.search_range(pattern)
+        return max(0, ep - sp + 1)
+
+    # -- extraction --------------------------------------------------------
+
+    def decode_text(self) -> np.ndarray:
+        """Reconstruct the whole generalized string.
+
+        TPU-shaped decode: one independent LF walk per sampling interval,
+        all advanced in lockstep (the device version in ops/fmq.py runs the
+        identical schedule with on-device gathers).
+        """
+        n = self.length
+        rate = 1 << self.index.sampling_factor
+        out = np.zeros(n, dtype=np.uint8)
+        if n == 0:
+            return out
+        out[n - 1] = 0  # final terminator, not covered by a walk
+        nwalks = (n - 1 + rate - 1) // rate  # chunks covering [0, n-1)
+        ends = np.minimum((np.arange(nwalks, dtype=np.int64) + 1) * rate, n - 1)
+        starts = np.arange(nwalks, dtype=np.int64) * rate
+        # walk w emits positions ends[w]-1 down to starts[w]
+        rows, values = self.index.sampled_rows()
+        row_of_value = {}  # SA value -> row, for walk seeds
+        seed = np.zeros(nwalks, dtype=np.int64)
+        inv = np.zeros(len(values), dtype=np.int64)
+        order = np.argsort(values)
+        sval = values[order]
+        srow = rows[order]
+        # seeds: row with SA value == ends[w] when ends[w] % rate == 0,
+        # else (only the last, partial walk) row 0 advanced appropriately
+        full = (ends % rate == 0) & (ends < n)
+        pos_in = np.searchsorted(sval, ends[full])
+        seed[full] = srow[pos_in]
+        lf = self.lf
+        cur = np.full(nwalks, -1, dtype=np.int64)
+        cur[full] = seed[full]
+        # partial last walk: start from row 0 (suffix n-1), step to SA=ends[w]
+        part = np.flatnonzero(~full)
+        for w in part:
+            idx = 0  # row of suffix n-1, i.e. SA value n-1
+            v = n - 1
+            while v > ends[w]:
+                idx = lf[idx]
+                v -= 1
+            cur[w] = idx
+        pos = ends - 1
+        live = pos >= starts
+        bwt = self.bwt
+        while live.any():
+            syms = bwt[cur[live]]
+            out[pos[live]] = syms
+            cur[live] = lf[cur[live]]
+            pos[live] -= 1
+            live = pos >= starts
+        return out
+
+    def extract(self, nstr: int, start: int = 0, end: int | None = None) -> bytes:
+        """Bytes [start, end) of sequence `nstr` (GSSA.extract:90-126)."""
+        b, t = self.seq_bounds(nstr)
+        if end is None or b + end > t:
+            end = t - b
+        text = self.decode_text()  # host path: full decode then slice
+        return bytes(text[b + start: b + end])
+
+    def sequence_lengths(self) -> list[int]:
+        return [self.seq_length(i) for i in range(self.nseq)]

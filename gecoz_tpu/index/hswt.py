@@ -1,0 +1,187 @@
+"""Huffman-shaped wavelet tree: host (numpy) build, serialize, read, query.
+
+Byte-compatible with HuffmanShapedWaveletTree (nova-algo tree/
+HuffmanShapedWaveletTree.java:38-365): nodes serialized pre-order, each as a
+ranked bit vector (see `gecoz_tpu.index.rankbv`).
+
+Unlike the reference's one-symbol-at-a-time streaming fill
+(HuffmanShapedWaveletTree.fill:127-146), construction here is vectorized:
+each node's bit vector is a masked gather over the code arrays; the device
+(JAX) build in `gecoz_tpu.ops.wavelet` goes further with level-order radix
+refinement.  Queries keep numpy rank structures per node; the TPU query path
+uses flattened planes in `gecoz_tpu.ops.fmq`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gecoz_tpu.index.rankbv import RankBitVector, pack_bits, rbv_bytes
+from gecoz_tpu.index.shape import HSWTShape
+from gecoz_tpu.utils.bits import BitReader, BitWriter
+
+
+class HSWT:
+    """Wavelet tree over one block's BWT."""
+
+    def __init__(self, shape: HSWTShape,
+                 nodes: dict[tuple[int, int], RankBitVector]):
+        self.shape = shape
+        self.nodes = nodes
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(cls, bwt: np.ndarray, shape: HSWTShape) -> "HSWT":
+        """Build from a BWT byte array (vectorized per node)."""
+        bwt = np.asarray(bwt, dtype=np.uint8)
+        codes = shape.codes[bwt].astype(np.int32)
+        lens = shape.bit_lengths[bwt].astype(np.int32)
+        nodes: dict[tuple[int, int], RankBitVector] = {}
+        for (level, prefix) in shape.nodes:
+            mask = (1 << level) - 1
+            sel = (lens > level) & ((codes & mask) == prefix)
+            bits = (codes[sel] >> level) & 1
+            nodes[(level, prefix)] = RankBitVector.from_bits(bits)
+        return cls(shape, nodes)
+
+    @classmethod
+    def from_packed(cls, shape: HSWTShape,
+                    packed: dict[tuple[int, int], np.ndarray]) -> "HSWT":
+        """Wrap already-packed per-node bit data (e.g. from the device)."""
+        nodes = {k: RankBitVector(packed[k], shape.node_lengths[k])
+                 for k in shape.nodes}
+        return cls(shape, nodes)
+
+    # -- serialization -----------------------------------------------------
+
+    def serialize(self) -> bytes:
+        """Lengths table + pre-order node dump (HSWT.write + shape.write)."""
+        w = BitWriter()
+        self.shape.write_table(w)
+        out = [w.getvalue()]
+        for key in self.shape.nodes:
+            out.append(self.nodes[key].serialize())
+        return b"".join(out)
+
+    @classmethod
+    def read(cls, buf: np.ndarray, length: int) -> "HSWT":
+        """Parse shape + nodes; node lengths derived from parent ranks
+        (HuffmanShapedWaveletTree.mapNodes:197-216)."""
+        buf = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+        reader = BitReader(buf.tobytes())
+        shape = HSWTShape.from_serialized(reader, length)
+        offset = reader.bytepos
+
+        nodes: dict[tuple[int, int], RankBitVector] = {}
+        node_lengths: dict[tuple[int, int], int] = {}
+        node_set = set(shape.nodes)
+
+        def walk(level: int, prefix: int, nlen: int) -> None:
+            nonlocal offset
+            key = (level, prefix)
+            if key not in node_set:
+                return
+            node = RankBitVector.deserialize(
+                buf[offset:offset + rbv_bytes(nlen)], nlen)
+            offset += rbv_bytes(nlen)
+            nodes[key] = node
+            node_lengths[key] = nlen
+            ones = node.total_ones()
+            walk(level + 1, prefix, nlen - ones)
+            walk(level + 1, prefix | (1 << level), ones)
+
+        if shape.nodes:
+            walk(0, 0, length)
+        shape.node_lengths = node_lengths
+        return cls(shape, nodes)
+
+    # -- queries -----------------------------------------------------------
+
+    def occ(self, symbol: int, pos: int) -> int:
+        """Occurrences of `symbol` in BWT[0..pos] minus one; -1 when none.
+        (HuffmanShapedWaveletTree.occ:247-267 semantics.)"""
+        nlen = int(self.shape.bit_lengths[symbol])
+        if nlen == 0:
+            return -1
+        code = int(self.shape.codes[symbol])
+        p = int(pos)
+        for lvl in range(nlen):
+            if p < 0:
+                break
+            node = self.nodes[(lvl, code & ((1 << lvl) - 1))]
+            bits = int(node.rank1_inclusive(np.int64(p)))
+            if (code >> lvl) & 1 == 0:
+                p -= bits
+            else:
+                p = bits - 1
+        return p
+
+    def occ_batch(self, symbol: int, pos: np.ndarray) -> np.ndarray:
+        """Vectorized occ for one symbol over many positions."""
+        nlen = int(self.shape.bit_lengths[symbol])
+        pos = np.asarray(pos, dtype=np.int64)
+        if nlen == 0:
+            return np.full(pos.shape, -1, dtype=np.int64)
+        code = int(self.shape.codes[symbol])
+        p = pos.copy()
+        for lvl in range(nlen):
+            node = self.nodes[(lvl, code & ((1 << lvl) - 1))]
+            live = p >= 0
+            bits = node.rank1_inclusive(np.maximum(p, 0))
+            bit = (code >> lvl) & 1
+            upd = (p - bits) if bit == 0 else (bits - 1)
+            p = np.where(live, upd, p)
+        return p
+
+    def decode_bwt(self) -> np.ndarray:
+        """Reconstruct the BWT byte array from the node bit vectors."""
+        n = self.shape.length
+        bwt = np.zeros(n, dtype=np.uint8)
+        if not self.shape.nodes:
+            return bwt
+        # leaf symbol for complete codes
+        leaf = {}
+        for s in np.flatnonzero(self.shape.bit_lengths > 0):
+            leaf[(int(self.shape.bit_lengths[s]), int(self.shape.codes[s]))] = int(s)
+
+        def walk(level: int, prefix: int, positions: np.ndarray) -> None:
+            sym = leaf.get((level, prefix))
+            if sym is not None:
+                bwt[positions] = sym
+                return
+            key = (level, prefix)
+            if key not in self.nodes or len(positions) == 0:
+                return
+            node = self.nodes[key]
+            bits = np.unpackbits(node.data, count=node.length,
+                                 bitorder="little")
+            walk(level + 1, prefix, positions[bits == 0])
+            walk(level + 1, prefix | (1 << level), positions[bits == 1])
+
+        walk(0, 0, np.arange(n, dtype=np.int64))
+        return bwt
+
+    def getRS(self, pos: int) -> tuple[int, int]:
+        """(rank, symbol) at BWT position `pos` (HSWT.getRS:300-314)."""
+        level = 0
+        prefix = 0
+        p = int(pos)
+        while True:
+            key = (level, prefix)
+            node = self.nodes[key]
+            bit = int(node.get(np.int64(p)))
+            bits = int(node.rank1_inclusive(np.int64(p)))
+            p = (p - bits) if bit == 0 else (bits - 1)
+            prefix |= bit << level
+            level += 1
+            sym = self._leaf_symbol(level, prefix)
+            if sym is not None:
+                return p, sym
+
+    def _leaf_symbol(self, level: int, prefix: int):
+        for s in np.flatnonzero(self.shape.bit_lengths > 0):
+            if (int(self.shape.bit_lengths[s]) == level
+                    and int(self.shape.codes[s]) == prefix):
+                return int(s)
+        return None

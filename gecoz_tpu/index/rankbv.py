@@ -1,0 +1,203 @@
+"""Rank-indexed bit vectors in the gecoz interleaved layout.
+
+On-disk layout (reference: nova-algo tree/RankedWTNode.java:36-246): the bit
+vector is packed LSB-first into bytes; in front of every 64-byte (512-bit)
+data group except the first, a counter is interleaved:
+
+* at 8192-data-byte (64 Kbit) boundaries: an 8-byte little-endian absolute
+  rank (number of ones strictly before the boundary),
+* at other 64-byte boundaries: a 2-byte little-endian rank *within the
+  current 64 Kbit segment*.
+
+A counter exists only if data follows it, giving the exact size formula
+``bytes(len)`` below (RankedWTNode.bytes, line 60-67).  One 8454-byte period
+= 8192 data + 127*2 shorts + 8 long.
+
+In memory we keep only the raw packed bits; superblock ranks are recomputed
+on load (cheap, vectorized) into query-friendly numpy/JAX arrays instead of
+the interleaved stream, which a vector machine cannot gather from
+efficiently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_GROUP = 64          # data bytes per counter interval (512 bits)
+_SEG_GROUPS = 128    # groups per 64 Kbit segment
+_SEG_DATA = _GROUP * _SEG_GROUPS   # 8192
+_SEG_BYTES = 8454    # 8192 + 127*2 + 8
+
+
+def rbv_bytes(length: int) -> int:
+    """Serialized size in bytes of a ranked bit vector of `length` bits
+    (RankedWTNode.bytes)."""
+    if length <= 0:
+        raise ValueError("empty bit vector")
+    size = ((length - 1) >> 16) * 6 + ((length - 1) >> 9) * 2 + ((length + 7) >> 3)
+    if size > 0x7FFFFFFF:
+        raise ValueError("ranked bit vector limited to ~15G bits")
+    return size
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """0/1 array -> LSB-first packed bytes."""
+    return np.packbits(bits.astype(np.uint8), bitorder="little")
+
+
+def unpack_bits(data: np.ndarray, length: int) -> np.ndarray:
+    return np.unpackbits(np.asarray(data, dtype=np.uint8), count=length,
+                         bitorder="little")
+
+
+def _group_popcounts(data: np.ndarray, ngroups: int) -> np.ndarray:
+    """Ones per 64-byte group (padded), as int64."""
+    pad = ngroups * _GROUP - len(data)
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, dtype=np.uint8)])
+    pc = np.bitwise_count(data.reshape(ngroups, _GROUP))
+    return pc.sum(axis=1, dtype=np.int64)
+
+
+def serialize_rbv(data: np.ndarray, length: int) -> bytes:
+    """Interleave packed bit data with rank counters (write path).
+
+    `data` is the LSB-first packed bit vector ((length+7)//8 bytes).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    nbytes = (length + 7) >> 3
+    assert len(data) == nbytes, (len(data), nbytes)
+
+    total = rbv_bytes(length)
+    nboundaries = (length - 1) >> 9        # counters 1..nboundaries
+    ngroups = nboundaries + 1              # data groups that exist
+    nseg = (nboundaries >> 7) + 1          # segments containing data
+
+    # over-allocate to whole cells, trim to `total` at the end
+    out = np.zeros(nseg * _SEG_BYTES + _SEG_BYTES, dtype=np.uint8)
+    if len(data) < ngroups * _GROUP:
+        data = np.concatenate(
+            [data, np.zeros(ngroups * _GROUP - len(data), np.uint8)])
+
+    pc = _group_popcounts(data, ngroups)
+    cum = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(pc, out=cum[1:])
+
+    # data group k starts at 66k + 6*(k//128) in the output
+    for s in range(nseg):
+        g0 = s * _SEG_GROUPS               # first group of the segment
+        base = s * _SEG_BYTES              # == offset of group g0's data
+        if s > 0:
+            # absolute 8-byte counter before the segment's first group
+            out[base - 8:base] = np.frombuffer(
+                np.uint64(cum[g0]).tobytes(), dtype=np.uint8)
+        out[base:base + _GROUP] = data[g0 * _GROUP:(g0 + 1) * _GROUP]
+        # segment-local short counters + data for groups g0+1 .. glast-1
+        glast = min(g0 + _SEG_GROUPS, ngroups)  # exclusive
+        ncells = glast - g0 - 1
+        if ncells > 0:
+            cells = out[base + _GROUP: base + _GROUP + ncells * 66]
+            cells = cells.reshape(ncells, 66)
+            shorts = (cum[g0 + 1:glast] - cum[g0]).astype(np.uint16)
+            cells[:, :2] = shorts[:, None].view(np.uint8)
+            cells[:, 2:] = data[(g0 + 1) * _GROUP:
+                                (g0 + 1 + ncells) * _GROUP].reshape(ncells, _GROUP)
+    return out[:total].tobytes()
+
+
+def deserialize_rbv(buf: np.ndarray, length: int) -> np.ndarray:
+    """Extract the packed bit data from an interleaved stream (read path)."""
+    buf = np.frombuffer(bytes(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else np.asarray(buf, dtype=np.uint8)
+    total = rbv_bytes(length)
+    assert len(buf) >= total, (len(buf), total)
+    nbytes = (length + 7) >> 3
+    nboundaries = (length - 1) >> 9
+    ngroups = nboundaries + 1
+    nseg = (nboundaries >> 7) + 1
+
+    if len(buf) < nseg * _SEG_BYTES + _SEG_BYTES:
+        buf = np.concatenate(
+            [buf[:total], np.zeros(nseg * _SEG_BYTES + _SEG_BYTES - total, np.uint8)])
+    out = np.zeros(ngroups * _GROUP, dtype=np.uint8)
+    for s in range(nseg):
+        g0 = s * _SEG_GROUPS
+        base = s * _SEG_BYTES
+        glast = min(g0 + _SEG_GROUPS, ngroups)
+        ncells = glast - g0 - 1
+        out[g0 * _GROUP:(g0 + 1) * _GROUP] = buf[base:base + _GROUP]
+        if ncells > 0:
+            cells = buf[base + _GROUP: base + _GROUP + ncells * 66]
+            cells = cells.reshape(ncells, 66)
+            out[(g0 + 1) * _GROUP:(g0 + 1 + ncells) * _GROUP] = \
+                cells[:, 2:].reshape(-1)
+    return out[:nbytes].copy()
+
+
+class RankBitVector:
+    """In-memory rank/select structure over a packed bit vector.
+
+    Query layout is TPU-style (flat words + superblock prefix ranks), not the
+    interleaved disk layout.
+    """
+
+    def __init__(self, data: np.ndarray, length: int):
+        self.length = int(length)
+        self.data = np.asarray(data, dtype=np.uint8)
+        ngroups = ((self.length - 1) >> 9) + 1 if self.length else 0
+        pc = _group_popcounts(self.data, ngroups)
+        self.super_ranks = np.zeros(ngroups + 1, dtype=np.int64)
+        np.cumsum(pc, out=self.super_ranks[1:])
+        # per-word (uint64) popcount prefix inside each group, built lazily
+        words = np.zeros(ngroups * 8, dtype=np.uint64)
+        raw = self.data
+        if len(raw) < ngroups * 64:
+            raw = np.concatenate(
+                [raw, np.zeros(ngroups * 64 - len(raw), np.uint8)])
+        words[:] = raw.view(np.uint64)
+        self.words = words
+        wpc = np.bitwise_count(words).astype(np.int64).reshape(ngroups, 8)
+        self.word_prefix = np.zeros((ngroups, 8), dtype=np.int64)
+        np.cumsum(wpc[:, :-1], axis=1, out=self.word_prefix[:, 1:])
+
+    @classmethod
+    def from_bits(cls, bits: np.ndarray) -> "RankBitVector":
+        return cls(pack_bits(bits), len(bits))
+
+    def get(self, idx):
+        idx = np.asarray(idx)
+        return (self.data[idx >> 3] >> (idx & 7)) & 1
+
+    def rank1_inclusive(self, idx):
+        """Number of ones in [0, idx] (vectorized; RankedWTNode.count)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        g = idx >> 9
+        w = (idx >> 6) & 7
+        base = self.super_ranks[g] + self.word_prefix[g, w]
+        word = self.words[g * 8 + w]
+        mask = (~np.uint64(0)) >> np.uint64(63) - (idx.astype(np.uint64) & np.uint64(63))
+        return base + np.bitwise_count(word & mask).astype(np.int64)
+
+    def rank1(self, idx):
+        """Number of ones in [0, idx) (exclusive convention)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        return np.where(idx <= 0, 0, self.rank1_inclusive(np.maximum(idx - 1, 0)))
+
+    def total_ones(self) -> int:
+        return int(self.rank1_inclusive(np.int64(self.length - 1)))
+
+    def select1(self, n):
+        """Position of the n'th one bit (1-based), -1 if out of range
+        (RankedWTNode.findOne semantics)."""
+        n = np.asarray(n, dtype=np.int64)
+        ones_pos = np.flatnonzero(unpack_bits(self.data, self.length))
+        res = np.full(n.shape, -1, dtype=np.int64)
+        ok = (n >= 1) & (n <= len(ones_pos))
+        res[ok] = ones_pos[n[ok] - 1]
+        return res
+
+    def serialize(self) -> bytes:
+        return serialize_rbv(self.data, self.length)
+
+    @classmethod
+    def deserialize(cls, buf: np.ndarray, length: int) -> "RankBitVector":
+        return cls(deserialize_rbv(buf, length), length)

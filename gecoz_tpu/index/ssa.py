@@ -1,0 +1,82 @@
+"""Sparse (sampled) suffix-array index: the `.gcx` payload.
+
+Byte-compatible with GSSAIndex (nova-algo ssa/GSSAIndex.java:42-206):
+a ranked bit vector over all BWT rows marking those whose SA value is a
+multiple of the sampling rate, followed by an IndexWaveletTree of the
+sampled values (>> sampling_factor) in row order.
+
+The sampling factor is *not* stored; readers recover it from file sizes
+(GSSAIndex.java:62-67, GecozFileReader.java:140-149) — handled by the gcz
+container layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gecoz_tpu.index.iwt import IndexWaveletTree, iwt_size
+from gecoz_tpu.index.rankbv import RankBitVector, rbv_bytes
+
+
+def index_size(sa_len: int, sampling_factor: int) -> int:
+    """Serialized index size (GSSAIndex.getIndexSize)."""
+    ssa_len = (sa_len + (1 << sampling_factor) - 1) >> sampling_factor
+    return iwt_size(ssa_len) + rbv_bytes(sa_len)
+
+
+class SampledSAIndex:
+    def __init__(self, mark: RankBitVector, wsa: IndexWaveletTree,
+                 sampling_factor: int):
+        self.mark = mark
+        self.wsa = wsa
+        self.sampling_factor = int(sampling_factor)
+
+    @classmethod
+    def build(cls, sa: np.ndarray, sampling_rate: int) -> "SampledSAIndex":
+        """Build from a full suffix array (GSSAIndex ctor at 129-150)."""
+        sf = sampling_rate.bit_length() - 1
+        assert (1 << sf) == sampling_rate, "sampling rate must be a power of 2"
+        sa = np.asarray(sa, dtype=np.int64)
+        mask = (1 << sf) - 1
+        marked = (sa & mask) == 0
+        ssa = sa[marked] >> sf
+        return cls(RankBitVector.from_bits(marked.astype(np.uint8)),
+                   IndexWaveletTree(ssa), sf)
+
+    def serialize(self) -> bytes:
+        return self.mark.serialize() + self.wsa.serialize()
+
+    @classmethod
+    def deserialize(cls, buf: np.ndarray, sa_len: int,
+                    sampling_factor: int) -> "SampledSAIndex":
+        buf = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+        nb = rbv_bytes(sa_len)
+        mark = RankBitVector.deserialize(buf[:nb], sa_len)
+        ssa_len = (sa_len + (1 << sampling_factor) - 1) >> sampling_factor
+        wsa = IndexWaveletTree.deserialize(buf[nb:nb + iwt_size(ssa_len)],
+                                           ssa_len)
+        return cls(mark, wsa, sampling_factor)
+
+    # -- queries (GSSAIndex.get / find) ------------------------------------
+
+    def get(self, pos):
+        """SA value at row `pos`, or -1 when the row is not sampled."""
+        pos = np.asarray(pos, dtype=np.int64)
+        sampled = self.mark.get(pos).astype(bool)
+        j = self.mark.rank1_inclusive(pos) - 1
+        val = self.wsa.get(np.maximum(j, 0)) << self.sampling_factor
+        return np.where(sampled, val, np.int64(-1))
+
+    def find(self, sa_value):
+        """Row whose SA value is `sa_value` (must be a sampled multiple)."""
+        sa_value = np.asarray(sa_value, dtype=np.int64)
+        j = self.wsa.find(sa_value >> self.sampling_factor)
+        return self.mark.select1(j + 1)
+
+    def sampled_rows(self) -> np.ndarray:
+        """All sampled rows' (row, sa_value) as two arrays, vectorized."""
+        rows = np.flatnonzero(
+            np.unpackbits(self.mark.data, count=self.mark.length,
+                          bitorder="little"))
+        values = self.wsa.perm << self.sampling_factor
+        return rows, values

@@ -1,0 +1,138 @@
+"""High-level drivers: fasta->gcz, gcz->fasta, range extract, match, GFF.
+
+These mirror the reference CLI tools' behavior (nova-gecoz tools/
+GecoIndex.java, GecoRead.java, GecoMatch.java, SimpleGFFGenerator.java) on
+top of the TPU-native pipeline.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from gecoz_tpu.formats.fasta import (FastaWriter, format_fasta_record,
+                                     iter_fasta, read_sequence)
+from gecoz_tpu.formats.gcz import (DEFAULT_SAMPLING_RATE, GecozReader,
+                                   GecozWriter, check_format)
+from gecoz_tpu.tools.blocks import plan_blocks
+
+log = logging.getLogger("gecoz")
+
+
+def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
+                backend: str = "auto") -> None:
+    """FASTA -> .gcz/.gcx (GecoIndex.index)."""
+    t0 = time.time()
+    ipath = Path(ipath)
+    sequences = list(iter_fasta(ipath, lazy=True))
+    if not sequences:
+        raise SystemExit(f"no data found in file: {ipath}")
+    blocks = plan_blocks(sequences)
+    log.info("indexing %d sequences in %d blocks", len(sequences), len(blocks))
+    with GecozWriter(opath, xpath, sampling, backend=backend) as w:
+        for block in blocks:
+            parts = []
+            for seq in block.sequences:
+                parts.append(read_sequence(ipath, seq))
+                parts.append(np.zeros(1, dtype=np.uint8))
+            data = np.concatenate(parts)
+            w.write(block.headers, data)
+    log.info("finished in %d ms", (time.time() - t0) * 1000)
+
+
+def decompress(ipath, opath, backend: str = "auto") -> None:
+    """.gcz -> FASTA (GecoRead.fasta)."""
+    t0 = time.time()
+    reader = GecozReader(ipath)
+    with FastaWriter(opath) as w:
+        for bheader in reader.headers:
+            fm = reader.read(bheader)
+            text = _decode_block(fm, backend)
+            for i, header in enumerate(bheader.headers):
+                b, t = fm.seq_bounds(i)
+                w.write(header, text[b:t])
+    log.info("finished in %d ms", (time.time() - t0) * 1000)
+
+
+def _decode_block(fm, backend: str) -> np.ndarray:
+    if backend == "device":
+        from gecoz_tpu.ops.fmq import decode_text_device
+        return np.asarray(decode_text_device(fm))
+    return fm.decode_text()
+
+
+def extract_range(ipath, header: str, start: int, end: int | None,
+                  opath) -> None:
+    """.gcz -> .seq range extraction (GecoRead.sequence)."""
+    reader = GecozReader(ipath)
+    bheader = reader.find_block(header)
+    if bheader is None:
+        raise SystemExit(f"no sequence found: {header}")
+    fm = reader.read(bheader)
+    nstr = bheader.headers.index(header)
+    data = fm.extract(nstr, start, end)
+    with open(opath, "wb") as f:
+        f.write(data)
+
+
+def match(ipath, header: str | None, pattern: str, show_positions: bool,
+          out=None) -> int:
+    """Count/search a pattern (GecoMatch.match)."""
+    out = sys.stdout if out is None else out
+    reader = GecozReader(ipath)
+    total = 0
+    blocks = reader.headers
+    if header is not None:
+        b = reader.find_block(header)
+        if b is None:
+            raise SystemExit(f"no sequence found: {header}")
+        blocks = [b]
+    for bheader in blocks:
+        fm = reader.read(bheader)
+        res = fm.find(pattern.encode())
+        for i, hits in sorted(res.items()):
+            if header is not None and bheader.headers[i] != header:
+                continue
+            print(f">{bheader.headers[i]} found : {len(hits)}", file=out)
+            total += len(hits)
+            if show_positions:
+                for p in hits:
+                    print(int(p), file=out)
+    log.info("total found: %d", total)
+    return total
+
+
+_COMPLEMENT = bytes.maketrans(b"ATCG", b"TAGC")
+
+
+def gff_search(ref_path, fasta_path, out=None) -> None:
+    """Query-FASTA search emitting GFF3 rows, forward + reverse complement
+    (SimpleGFFGenerator.search:45-163)."""
+    out = sys.stdout if out is None else out
+    reader = GecozReader(ref_path)
+    fms = [(h, reader.read(h)) for h in reader.headers]
+
+    for q in iter_fasta(fasta_path):
+        seq = bytes(q.data).replace(b"U", b"T")
+        for reverse in (False, True):
+            s = seq[::-1].translate(_COMPLEMENT) if reverse else seq
+            for bheader, fm in fms:
+                res = fm.find(s)
+                for i, hits in sorted(res.items()):
+                    for p in hits:
+                        _gff_row(out, bheader.headers[i], int(p), len(s),
+                                 reverse, q.header)
+
+
+def _gff_row(out, target, pos, plen, reverse, qheader):
+    strand = "-" if reverse else "+"
+    parts = qheader.split("|")
+    attrs = f"ID={parts[0]}" if parts else ""
+    for extra in parts[1:]:
+        attrs += f";Note={extra}"
+    print(f"{target}\tgecotools\tdna\t{pos + 1}\t{pos + plen}\t1.000\t"
+          f"{strand}\t.\t{attrs}", file=out)

@@ -1,0 +1,155 @@
+"""End-to-end container tests: fasta -> gcz -> fasta, CLI, block policy."""
+
+import io
+
+import numpy as np
+import pytest
+
+from gecoz_tpu.cli import main as cli_main
+from gecoz_tpu.formats.fasta import format_fasta_record, iter_fasta
+from gecoz_tpu.formats.gcz import (GecozReader, GecozWriter, encode_block,
+                                   header_hash)
+from gecoz_tpu.tools import driver
+from gecoz_tpu.tools.blocks import plan_blocks
+from conftest import random_dna
+
+
+def write_fasta(path, records, width=60):
+    with open(path, "wb") as f:
+        for header, seq in records:
+            f.write(b">" + header.encode() + b"\n")
+            s = bytes(seq)
+            for i in range(0, len(s), width):
+                f.write(s[i:i + width] + b"\n")
+
+
+def test_block_roundtrip_single(rng):
+    seq = random_dna(rng, 5000, b"ACGTN")
+    data = np.concatenate([seq, np.zeros(1, np.uint8)])
+    gcz, gcx = encode_block(data, ["chrT"])
+    # parse back
+    import tempfile, os
+    from pathlib import Path
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "t.gcz"
+        p.write_bytes(gcz)
+        (Path(d) / "t.gcx").write_bytes(gcx)
+        r = GecozReader(p)
+        assert len(r.headers) == 1
+        assert r.headers[0].headers == ["chrT"]
+        assert r.headers[0].len == len(data)
+        assert r.sampling_factor == 5
+        fm = r.read(r.headers[0])
+        assert bytes(fm.decode_text()) == bytes(data)
+        assert fm.extract(0) == bytes(seq)
+
+
+def test_fasta_gcz_fasta_roundtrip(tmp_path, rng):
+    records = [("chr1 test", random_dna(rng, 3000)),
+               ("chr2", random_dna(rng, 1200, b"ACGTN")),
+               ("chrM|organelle", random_dna(rng, 100)),
+               ("chrZ", random_dna(rng, 700))]
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, records)
+    gcz = tmp_path / "out.gcz"
+    driver.index_fasta(fa, gcz)
+    assert (tmp_path / "out.gcx").is_file()
+
+    out = tmp_path / "back.fa"
+    driver.decompress(gcz, out)
+    back = {s.header: bytes(s.data) for s in iter_fasta(out)}
+    for header, seq in records:
+        assert back[header] == bytes(seq), header
+    # exact output layout: 50-char reflow incl. the %50 blank-line quirk
+    expected = b""
+    reader = GecozReader(gcz)
+    order = [h for bh in reader.headers for h in bh.headers]
+    rec = dict((h, s) for h, s in records)
+    for h in order:
+        expected += format_fasta_record(h, rec[h])
+    assert out.read_bytes() == expected
+
+
+def test_extract_range(tmp_path, rng):
+    seq = random_dna(rng, 2000)
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, [("chrE", seq)])
+    gcz = tmp_path / "o.gcz"
+    driver.index_fasta(fa, gcz)
+    out = tmp_path / "chrE.seq"
+    driver.extract_range(gcz, "chrE", 100, 300, out)
+    assert out.read_bytes() == bytes(seq[100:300])
+
+
+def test_match_counts(tmp_path, rng):
+    seq = random_dna(rng, 4000)
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, [("chrA", seq), ("chrB", random_dna(rng, 2500))])
+    gcz = tmp_path / "o.gcz"
+    driver.index_fasta(fa, gcz)
+    pat = bytes(seq[1000:1012]).decode()
+    buf = io.StringIO()
+    total = driver.match(gcz, None, pat, show_positions=True, out=buf)
+    brute = sum(_count_overlapping(bytes(s), pat.encode())
+                for _, s in [("chrA", seq)]) + \
+        _count_overlapping(bytes(iter_fasta(fa).__next__().data) if False else b"", b"x")
+    # brute-force over both sequences
+    seqs = {s.header: bytes(s.data) for s in iter_fasta(fa)}
+    want = sum(_count_overlapping(s, pat.encode()) for s in seqs.values())
+    assert total == want >= 1
+
+
+def _count_overlapping(hay, needle):
+    count = 0
+    start = 0
+    while True:
+        p = hay.find(needle, start)
+        if p < 0:
+            return count
+        count += 1
+        start = p + 1
+
+
+def test_block_merge_policy(rng):
+    from gecoz_tpu.formats.fasta import FastaSequence
+
+    def fs(h, n):
+        return FastaSequence(header=h, length=n, position=0, multiline=True)
+
+    # largest = 100 -> cap 101; merging stops at first failure
+    seqs = [fs("a", 100), fs("b", 60), fs("c", 30), fs("d", 20), fs("e", 5)]
+    blocks = plan_blocks(seqs)
+    # merge trace: sizes [6,21,31,61,101] -> 6+21=27 -> [27,31,61,101]
+    # -> 27+31=58 -> [58,61,101] -> 58+61=119 > 101 -> stop
+    sizes = [b.size for b in blocks]
+    # output order: largest first sequence first
+    assert blocks[0].sequences[0].header == "a"
+    assert sorted(sizes) == [58, 61, 101]
+    # within-block order: longest first
+    merged = [b for b in blocks if b.size == 58][0]
+    assert [s.header for s in merged.sequences] == ["c", "d", "e"]
+
+
+def test_cli_end_to_end(tmp_path, rng, capsys):
+    seq = random_dna(rng, 1500)
+    fa = tmp_path / "x.fa"
+    write_fasta(fa, [("chrC", seq)])
+    gcz = tmp_path / "x.gcz"
+    assert cli_main(["-i", str(fa), "-o", str(gcz)]) == 0
+    out = tmp_path / "x.out.fa"
+    assert cli_main(["-i", str(gcz), "-o", str(out)]) == 0
+    assert {s.header: bytes(s.data) for s in iter_fasta(out)} == \
+        {"chrC": bytes(seq)}
+    pat = bytes(seq[200:210]).decode()
+    assert cli_main(["-i", str(gcz), "-c", pat]) == 0
+    captured = capsys.readouterr()
+    assert "chrC found :" in captured.out
+
+
+def test_header_hash_java_semantics():
+    # matches Java: h = 1125899906842597; h = h*31 + ch
+    h = header_hash(["AB"])
+    want = 1125899906842597
+    for ch in "AB":
+        want = (want * 31 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
+    assert h == want
