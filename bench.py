@@ -1,0 +1,137 @@
+"""Benchmark: single-chip FM-index pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+The reference (redmitry/gecoz) publishes no throughput numbers
+(BASELINE.md), so `vs_baseline` is the ratio of the on-device pipeline to
+the single-core host (numpy) implementation of the same algorithms — the
+stand-in for the reference's single-threaded Java path.
+
+Pipeline measured: raw block bytes -> suffix array -> BWT -> FM query
+state (the encode core), plus full-text decode and a batched-search leg
+reported as supplementary stderr lines.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_dna(n: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    syms = np.frombuffer(b"ACGT", np.uint8)
+    # mildly realistic skew + N runs
+    data = rng.choice(syms, size=n, p=[0.29, 0.21, 0.21, 0.29]).astype(np.uint8)
+    data[: n // 200] = ord("N")
+    cuts = np.sort(rng.choice(np.arange(1, n - 1), size=3, replace=False))
+    data[cuts] = 0
+    data[n - 1] = 0
+    return data
+
+
+def timeit(fn, *args, repeat=3):
+    import jax
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gecoz_tpu.ops.fmq import decode_text_jit, locate_batch, search_batch
+    from gecoz_tpu.ops.pipeline import index_block
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 22   # 4 MiB
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    data = synth_dna(n)
+    d = jax.device_put(jnp.asarray(data), dev)
+
+    # -- warmup / compile
+    t0 = time.perf_counter()
+    block = index_block(d)
+    jax.block_until_ready(block)
+    print(f"# index compile+run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    t_index, block = timeit(index_block, d)
+    mbps_index = n / 1e6 / t_index
+    print(f"# index: {t_index*1e3:.1f} ms -> {mbps_index:.1f} MB/s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    text = decode_text_jit(block)
+    jax.block_until_ready(text)
+    print(f"# decode compile+run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t_decode, text = timeit(decode_text_jit, block)
+    mbps_decode = n / 1e6 / t_decode
+    print(f"# decode: {t_decode*1e3:.1f} ms -> {mbps_decode:.1f} MB/s",
+          file=sys.stderr)
+    assert np.array_equal(np.asarray(text), data), "decode mismatch"
+
+    # -- batched search
+    rng = np.random.default_rng(3)
+    B, L = 8192, 16
+    starts = rng.integers(0, n - L, size=B)
+    pats = np.stack([data[s:s + L] for s in starts]).astype(np.uint8)
+    lens = np.full(B, L, np.int32)
+    pats_d = jax.device_put(jnp.asarray(pats), dev)
+    lens_d = jax.device_put(jnp.asarray(lens), dev)
+    search = jax.jit(lambda b, p, l: search_batch(b, p, l))
+    jax.block_until_ready(search(block, pats_d, lens_d))
+    t_search, _ = timeit(search, block, pats_d, lens_d)
+    print(f"# search: {B / t_search / 1e6:.2f} Mqueries/s "
+          f"({L}-mers)", file=sys.stderr)
+
+    # -- host single-core baseline (the reference-style path) on a smaller
+    #    slice, scaled by size (both algorithms are ~linear per MB here)
+    from gecoz_tpu.index.fm import FMIndex
+    from gecoz_tpu.index.hswt import HSWT
+    from gecoz_tpu.index.shape import HSWTShape
+    from gecoz_tpu.index.ssa import SampledSAIndex
+    from gecoz_tpu.ops.sa import bwt_from_sa, suffix_array_numpy
+
+    hn = min(n, 1 << 20)
+    hdata = data[:hn].copy()
+    hdata[-1] = 0
+    t0 = time.perf_counter()
+    sa = suffix_array_numpy(hdata)
+    bwt = bwt_from_sa(hdata, sa)
+    shape = HSWTShape.from_counts(np.bincount(hdata, minlength=256))
+    HSWT.build(bwt, shape)
+    SampledSAIndex.build(sa, 32)
+    t_host = time.perf_counter() - t0
+    host_mbps = hn / 1e6 / t_host
+    print(f"# host baseline: {host_mbps:.1f} MB/s ({hn >> 20} MiB)",
+          file=sys.stderr)
+
+    result = {
+        "metric": "FM-index encode throughput, single chip "
+                  f"({n >> 20} MiB DNA block: SA+BWT+query-state)",
+        "value": round(mbps_index, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps_index / host_mbps, 2),
+        "extra": {
+            "decode_MBps": round(mbps_decode, 2),
+            "search_Mqps_16mer": round(B / t_search / 1e6, 3),
+            "host_single_core_MBps": round(host_mbps, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

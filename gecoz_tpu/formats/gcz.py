@@ -111,9 +111,21 @@ def encode_block(data: np.ndarray, headers: list[str],
     counts = np.bincount(data, minlength=256).astype(np.int64)
     shape = HSWTShape.from_counts(counts)
 
-    sa = suffix_array(data, backend=backend)
-    bwt = bwt_from_sa(data, sa)
-    hswt = HSWT.build(bwt, shape)
+    if backend == "device":
+        import jax.numpy as jnp
+
+        from gecoz_tpu.ops.sa_device import bwt_device, suffix_array_device
+        from gecoz_tpu.ops.wavelet import build_hswt_device
+
+        d = jnp.asarray(data)
+        sa_dev = suffix_array_device(d)
+        bwt = np.asarray(bwt_device(d, sa_dev))
+        sa = np.asarray(sa_dev).astype(np.int64)
+        hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
+    else:
+        sa = suffix_array(data, backend=backend)
+        bwt = bwt_from_sa(data, sa)
+        hswt = HSWT.build(bwt, shape)
     ssa = SampledSAIndex.build(sa, sampling_rate)
 
     block_size = ref_header_length(headers) + shape.size

@@ -68,6 +68,13 @@ def serialize_rbv(data: np.ndarray, length: int) -> bytes:
     nbytes = (length + 7) >> 3
     assert len(data) == nbytes, (len(data), nbytes)
 
+    try:
+        from gecoz_tpu import native
+        if native.available():
+            return native.interleave_rbv(data, length, rbv_bytes(length)).tobytes()
+    except Exception:
+        pass
+
     total = rbv_bytes(length)
     nboundaries = (length - 1) >> 9        # counters 1..nboundaries
     ngroups = nboundaries + 1              # data groups that exist
@@ -110,6 +117,14 @@ def deserialize_rbv(buf: np.ndarray, length: int) -> np.ndarray:
     buf = np.frombuffer(bytes(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else np.asarray(buf, dtype=np.uint8)
     total = rbv_bytes(length)
     assert len(buf) >= total, (len(buf), total)
+
+    try:
+        from gecoz_tpu import native
+        if native.available():
+            return native.deinterleave_rbv(buf[:total], length)
+    except Exception:
+        pass
+
     nbytes = (length + 7) >> 3
     nboundaries = (length - 1) >> 9
     ngroups = nboundaries + 1

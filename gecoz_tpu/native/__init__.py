@@ -1,0 +1,105 @@
+"""ctypes bindings for the native (C++) host tier.
+
+Builds `libgecoz.so` on first use via the Makefile (g++ is in the image);
+every entry point has a pure-numpy fallback elsewhere in the package, so a
+missing toolchain only costs speed, never correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _DIR / "libgecoz.so"
+    try:
+        if not so.is_file() or so.stat().st_mtime < (_DIR / "sais.cpp").stat().st_mtime:
+            subprocess.run(["make", "-C", str(_DIR)], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        lib.gecoz_sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.gecoz_bwt.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_interleave_rbv.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_deinterleave_rbv.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def sais(s: np.ndarray) -> np.ndarray:
+    """True suffix array via native SA-IS (linear time)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    n = len(s)
+    sa = np.empty(n, dtype=np.int32)
+    if n:
+        lib.gecoz_sais_u8(_u8ptr(s), n, _i32ptr(sa))
+    return sa.astype(np.int64)
+
+
+def bwt(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    sa32 = np.ascontiguousarray(sa, dtype=np.int32)
+    out = np.empty(len(s), dtype=np.uint8)
+    if len(s):
+        lib.gecoz_bwt(_u8ptr(s), _i32ptr(sa32), len(s), _u8ptr(out))
+    return out
+
+
+def interleave_rbv(data: np.ndarray, length_bits: int,
+                   out_size: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(out_size, dtype=np.uint8)
+    lib.gecoz_interleave_rbv(_u8ptr(data), length_bits, _u8ptr(out))
+    return out
+
+
+def deinterleave_rbv(buf: np.ndarray, length_bits: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.zeros((length_bits + 7) >> 3, dtype=np.uint8)
+    lib.gecoz_deinterleave_rbv(_u8ptr(buf), length_bits, _u8ptr(out))
+    return out

@@ -1,0 +1,218 @@
+// SA-IS suffix array construction (linear time) + gecoz layout helpers.
+//
+// Host-side native tier of gecoz-tpu: plays the role the reference's Java
+// kernels play (nova-algo string/SAIS.java — an SA-IS/SACA-K hybrid).  This
+// is an independent textbook SA-IS implementation (Nong, Zhang & Chan,
+// DCC 2009): classify L/S types, sort LMS substrings by induced sorting,
+// name them, recurse on the reduced string if names repeat, then induce the
+// final order.  Output equals the true lexicographic suffix array, matching
+// the numpy/JAX backends bit-for-bit.
+//
+// Build: make -C gecoz_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Generic over the text type: uint8 at the top level, int32 for recursion.
+template <typename T>
+void sais(const T* s, int32_t* sa, int32_t n, int32_t sigma) {
+  if (n == 0) return;
+  if (n == 1) { sa[0] = 0; return; }
+
+  std::vector<uint8_t> is_s(n);   // 1 = S-type, 0 = L-type
+  // the virtual sentinel is smaller than every symbol, so the last suffix
+  // is L-type, and equal runs ending at the boundary inherit L
+  is_s[n - 1] = 0;
+  for (int32_t i = n - 2; i >= 0; --i)
+    is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
+
+  auto is_lms = [&](int32_t i) {
+    return i > 0 && is_s[i] && !is_s[i - 1];
+  };
+
+  std::vector<int32_t> bucket(sigma), bstart(sigma), bend(sigma);
+  for (int32_t i = 0; i < n; ++i) bucket[s[i]]++;
+  auto reset_ends = [&]() {
+    int32_t sum = 0;
+    for (int32_t c = 0; c < sigma; ++c) { sum += bucket[c]; bend[c] = sum; }
+  };
+  auto reset_starts = [&]() {
+    int32_t sum = 0;
+    for (int32_t c = 0; c < sigma; ++c) { bstart[c] = sum; sum += bucket[c]; }
+  };
+
+  auto induce = [&](bool final_pass) {
+    (void)final_pass;
+    // L-type left-to-right
+    reset_starts();
+    // the suffix starting at n-1... handled through normal traversal; but
+    // first, suffix (n-1) has no successor context: seed it if L-type.
+    if (!is_s[n - 1]) sa[bstart[s[n - 1]]++] = n - 1;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t j = sa[i];
+      if (j > 0 && !is_s[j - 1]) sa[bstart[s[j - 1]]++] = j - 1;
+    }
+    // S-type right-to-left
+    reset_ends();
+    for (int32_t i = n - 1; i >= 0; --i) {
+      int32_t j = sa[i];
+      if (j > 0 && is_s[j - 1]) sa[--bend[s[j - 1]]] = j - 1;
+    }
+  };
+
+  // ---- stage 1: sort LMS suffixes approximately (by LMS substring)
+  std::memset(sa, -1, sizeof(int32_t) * n);
+  reset_ends();
+  for (int32_t i = n - 1; i >= 1; --i)
+    if (is_lms(i)) sa[--bend[s[i]]] = i;
+  {
+    // induced sort over the partial array; -1 entries skipped
+    reset_starts();
+    if (!is_s[n - 1]) sa[bstart[s[n - 1]]++] = n - 1;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t j = sa[i];
+      if (j > 0 && !is_s[j - 1]) sa[bstart[s[j - 1]]++] = j - 1;
+    }
+    reset_ends();
+    for (int32_t i = n - 1; i >= 0; --i) {
+      int32_t j = sa[i];
+      if (j > 0 && is_s[j - 1]) sa[--bend[s[j - 1]]] = j - 1;
+    }
+  }
+
+  // ---- stage 2: name LMS substrings in sorted order
+  std::vector<int32_t> lms;  // LMS positions in text order
+  lms.reserve(n / 2);
+  for (int32_t i = 1; i < n; ++i)
+    if (is_lms(i)) lms.push_back(i);
+  int32_t nlms = (int32_t)lms.size();
+  if (nlms == 0) {
+    // no LMS: string is monotone; induced sort above already placed all
+    std::memset(sa, -1, sizeof(int32_t) * n);
+    reset_ends();
+    // all suffixes L-type: place n-1..0 by induced L pass
+    reset_starts();
+    sa[bstart[s[n - 1]]++] = n - 1;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t j = sa[i];
+      if (j > 0) sa[bstart[s[j - 1]]++] = j - 1;
+    }
+    return;
+  }
+
+  std::vector<int32_t> name_of(n, -1);
+  int32_t names = 0, prev = -1;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t j = sa[i];
+    if (j <= 0 || !is_lms(j)) continue;
+    if (prev < 0) {
+      name_of[j] = names;
+    } else {
+      // compare LMS substrings at prev and j (inclusive of next LMS char)
+      bool diff = false;
+      for (int32_t d = 0;; ++d) {
+        int32_t a = prev + d, b = j + d;
+        if (a >= n || b >= n) { diff = (a >= n) != (b >= n); break; }
+        if (s[a] != s[b] || is_s[a] != is_s[b]) { diff = true; break; }
+        if (d > 0 && (is_lms(a) || is_lms(b))) {
+          diff = !(is_lms(a) && is_lms(b));
+          break;
+        }
+      }
+      if (diff) ++names;
+      name_of[j] = names;
+    }
+    prev = j;
+  }
+  ++names;
+
+  // reduced string: names of LMS substrings in text order
+  std::vector<int32_t> s1(nlms);
+  for (int32_t k = 0; k < nlms; ++k) s1[k] = name_of[lms[k]];
+
+  std::vector<int32_t> sa1(nlms);
+  if (names < nlms) {
+    sais<int32_t>(s1.data(), sa1.data(), nlms, names);
+  } else {
+    for (int32_t k = 0; k < nlms; ++k) sa1[s1[k]] = k;
+  }
+
+  // ---- stage 3: induce the final order from sorted LMS suffixes
+  std::memset(sa, -1, sizeof(int32_t) * n);
+  reset_ends();
+  for (int32_t k = nlms - 1; k >= 0; --k)
+    sa[--bend[s[lms[sa1[k]]]]] = lms[sa1[k]];
+  induce(true);
+}
+
+}  // namespace
+
+extern "C" {
+
+// True suffix array of a byte string; sa must hold n int32s.
+void gecoz_sais_u8(const uint8_t* s, int32_t n, int32_t* sa) {
+  sais<uint8_t>(s, sa, n, 256);
+}
+
+// BWT gather: bwt[i] = s[(sa[i]+n-1) mod n].
+void gecoz_bwt(const uint8_t* s, const int32_t* sa, int32_t n, uint8_t* bwt) {
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t j = sa[i];
+    bwt[i] = s[j == 0 ? n - 1 : j - 1];
+  }
+}
+
+// Interleave packed bit data with gecoz rank counters
+// (RankedWTNode layout; see gecoz_tpu/index/rankbv.py).
+// data: (len_bits+7)/8 bytes; out: rbv_bytes(len_bits) bytes.
+void gecoz_interleave_rbv(const uint8_t* data, int64_t len_bits,
+                          uint8_t* out) {
+  int64_t nbytes = (len_bits + 7) >> 3;
+  int64_t nboundaries = (len_bits - 1) >> 9;
+  int64_t ngroups = nboundaries + 1;
+  uint64_t abs_rank = 0, seg_rank = 0;
+  int64_t out_pos = 0;
+  for (int64_t g = 0; g < ngroups; ++g) {
+    if (g > 0) {
+      if ((g & 127) == 0) {
+        std::memcpy(out + out_pos, &abs_rank, 8);
+        out_pos += 8;
+        seg_rank = 0;
+      } else {
+        uint16_t v = (uint16_t)seg_rank;
+        std::memcpy(out + out_pos, &v, 2);
+        out_pos += 2;
+      }
+    }
+    int64_t start = g * 64;
+    int64_t m = nbytes - start < 64 ? nbytes - start : 64;
+    std::memcpy(out + out_pos, data + start, m);
+    out_pos += m;
+    // popcount this group
+    uint64_t cnt = 0;
+    for (int64_t b = 0; b < m; ++b)
+      cnt += __builtin_popcount(data[start + b]);
+    abs_rank += cnt;
+    seg_rank += cnt;
+  }
+}
+
+void gecoz_deinterleave_rbv(const uint8_t* buf, int64_t len_bits,
+                            uint8_t* data) {
+  int64_t nbytes = (len_bits + 7) >> 3;
+  int64_t nboundaries = (len_bits - 1) >> 9;
+  int64_t ngroups = nboundaries + 1;
+  int64_t in_pos = 0;
+  for (int64_t g = 0; g < ngroups; ++g) {
+    if (g > 0) in_pos += ((g & 127) == 0) ? 8 : 2;
+    int64_t start = g * 64;
+    int64_t m = nbytes - start < 64 ? nbytes - start : 64;
+    std::memcpy(data + start, buf + in_pos, m);
+    in_pos += m;
+  }
+}
+
+}  // extern "C"

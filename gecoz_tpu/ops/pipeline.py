@@ -1,0 +1,47 @@
+"""End-to-end on-device pipelines: index-and-query, decode.
+
+These compose the device kernels (suffix array, BWT, plane construction,
+batched FM queries) into single jittable steps — the "forward pass" of the
+framework.  The same functions shard over a mesh: the block dimension is
+pure data parallelism, the in-block arrays shard along the sequence axis
+(XLA inserts the collectives for the sorts/cumsums), and query batches
+shard like activations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gecoz_tpu.ops.fmq import (DeviceFMBlock, build_device_block_jit,
+                               decode_text_jit, locate_batch, search_batch)
+from gecoz_tpu.ops.sa_device import _suffix_array_jit, bwt_device
+
+# '\0' terminator + IUPAC-ish genomic alphabet (static plane set)
+DNA_SYMBOLS = (0, 65, 67, 71, 78, 84)  # \0 A C G N T
+
+
+@functools.partial(jax.jit, static_argnames=("sf", "symbols"))
+def index_block(s: jax.Array, sf: int = 5,
+                symbols: tuple[int, ...] = DNA_SYMBOLS) -> DeviceFMBlock:
+    """Raw block bytes -> device FM query state (SA -> BWT -> planes)."""
+    sa = _suffix_array_jit(s)
+    bwt = bwt_device(s, sa)
+    return build_device_block_jit(bwt, sa, sf, symbols)
+
+
+@functools.partial(jax.jit, static_argnames=("sf", "symbols"))
+def index_and_query(s: jax.Array, patterns: jax.Array, lengths: jax.Array,
+                    sf: int = 5, symbols: tuple[int, ...] = DNA_SYMBOLS):
+    """One full forward step: build the index, run a search batch, locate
+    every hit range's start row, and decode the text back.
+
+    Returns (sp, ep, located_start, text) — exercising every kernel.
+    """
+    block = index_block(s, sf=sf, symbols=symbols)
+    sp, ep = search_batch(block, patterns, lengths)
+    start_vals = locate_batch(block, sp)
+    text = decode_text_jit(block)
+    return sp, ep, start_vals, text

@@ -1,0 +1,87 @@
+"""Device-side Huffman-shaped wavelet tree construction.
+
+The reference fills node bit vectors one symbol at a time
+(HuffmanShapedWaveletTree.fill:127-146) — a serial bit-push loop.  Here the
+same node contents come out of level-order array ops: at level L, the
+concatenation of all level-L node bit vectors equals
+
+    bits  = (code(bwt) >> L) & 1
+    order = stable argsort of (prefix_L(code(bwt)), else +inf for symbols
+            whose code ends above L)
+
+i.e. one stable sort per level groups elements by their code prefix
+(ascending prefix integer), preserving BWT order within each node.  The
+host then slices per-node bit runs (lengths are known from the shape) and
+serializes them into the pre-order gecoz layout.
+
+Levels are few (max code length; ~3-7 for genomic alphabets), so the whole
+construction is `maxlen` stable sorts — sort-shaped work XLA runs at full
+tile throughput on the MXU-adjacent sort units.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gecoz_tpu.index.rankbv import pack_bits
+from gecoz_tpu.index.shape import HSWTShape
+
+_BIG = np.int32(2 ** 30)
+
+
+@functools.partial(jax.jit, static_argnames=("maxlen",))
+def wavelet_level_bits(bwt: jax.Array, codes: jax.Array, lens: jax.Array,
+                       maxlen: int) -> jax.Array:
+    """Per-level node-concatenated bit arrays.
+
+    Returns uint8 [maxlen, n]; row L holds the level-L bits of all active
+    elements (grouped by ascending code prefix, stable in BWT order) in its
+    first `n_L` entries.
+    """
+    n = bwt.shape[0]
+    sym = bwt.astype(jnp.int32)
+    code = codes[sym]
+    ln = lens[sym]
+
+    rows = []
+    for L in range(maxlen):
+        active = ln > L
+        prefix = code & ((1 << L) - 1)
+        key = jnp.where(active, prefix, _BIG)
+        order = jnp.argsort(key, stable=True)
+        bits = ((code[order] >> L) & 1).astype(jnp.uint8)
+        rows.append(bits)
+    return jnp.stack(rows)
+
+
+def node_bits_from_levels(levels: np.ndarray,
+                          shape: HSWTShape) -> dict[tuple[int, int], np.ndarray]:
+    """Slice per-node packed bit vectors out of the level arrays (host)."""
+    out: dict[tuple[int, int], np.ndarray] = {}
+    by_level: dict[int, list[tuple[int, int]]] = {}
+    for (L, p) in shape.nodes:
+        by_level.setdefault(L, []).append((L, p))
+    for L, keys in by_level.items():
+        keys.sort(key=lambda k: k[1])          # ascending prefix integer
+        off = 0
+        row = levels[L]
+        for key in keys:
+            ln = shape.node_lengths[key]
+            out[key] = pack_bits(row[off:off + ln])
+            off += ln
+    return out
+
+
+def build_hswt_device(bwt_np: np.ndarray, shape: HSWTShape):
+    """BWT bytes -> {node: packed bits} via the device kernel."""
+    maxlen = int(shape.bit_lengths.max())
+    levels = np.asarray(wavelet_level_bits(
+        jnp.asarray(bwt_np),
+        jnp.asarray(shape.codes.astype(np.int32)),
+        jnp.asarray(shape.bit_lengths.astype(np.int32)),
+        maxlen))
+    return node_bits_from_levels(levels, shape)

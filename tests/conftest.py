@@ -1,12 +1,18 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh; the real TPU is exercised by
-# bench.py and the driver's compile checks.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# bench.py and the driver's compile checks.  NB the axon sitecustomize in
+# this image force-registers the TPU backend and overrides JAX_PLATFORMS,
+# so the env var alone is not enough — jax.config is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,84 @@
+"""Device FM query engine vs the host reference engine."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from gecoz_tpu.ops import fmq
+from gecoz_tpu.ops.sa_device import suffix_array_device
+from gecoz_tpu.ops.sa import suffix_array_numpy
+from conftest import random_block
+from test_fm import build_fm, brute_find
+
+
+def make_pair(rng, nseq=3, rate=8, **kw):
+    data, seqs = random_block(rng, nseq=nseq, **kw)
+    fm = build_fm(data, rate)
+    return data, seqs, fm, fmq.device_block_from_fm(fm)
+
+
+def test_occ_inclusive_matches_host(rng):
+    data, _, fm, blk = make_pair(rng)
+    pos = rng.integers(0, len(data), size=64).astype(np.int32)
+    for s in [0, 65, 67, 71, 84, 78, 90]:
+        got = np.asarray(fmq.occ_inclusive(blk, jnp.full(64, s, jnp.int32),
+                                           jnp.asarray(pos)))
+        want = np.asarray(fm.occ(s, pos.astype(np.int64))) + 1
+        want = np.maximum(want, 0)
+        if (fm.bwt == s).sum() == 0:
+            want = np.zeros_like(want)
+        assert np.array_equal(got, want), s
+
+
+def test_lf_matches_host(rng):
+    data, _, fm, blk = make_pair(rng, nseq=4)
+    idx = np.arange(len(data), dtype=np.int32)
+    got = np.asarray(fmq.lf_batch(blk, jnp.asarray(idx)))
+    assert np.array_equal(got, fm.lf[idx])
+
+
+def test_search_batch(rng):
+    data, seqs, fm, blk = make_pair(rng, nseq=2, minlen=100, maxlen=400,
+                                    alphabet=b"ACGT")
+    pats = []
+    for plen in [1, 3, 5, 9]:
+        for _ in range(5):
+            pats.append(bytes(rng.choice(
+                np.frombuffer(b"ACGT", np.uint8), size=plen)))
+    L = max(len(p) for p in pats)
+    arr = np.zeros((len(pats), L), dtype=np.uint8)
+    lens = np.zeros(len(pats), dtype=np.int32)
+    for i, p in enumerate(pats):
+        arr[i, L - len(p):] = np.frombuffer(p, np.uint8)
+        lens[i] = len(p)
+    sp, ep = fmq.search_batch(blk, jnp.asarray(arr), jnp.asarray(lens))
+    sp, ep = np.asarray(sp), np.asarray(ep)
+    for i, p in enumerate(pats):
+        hsp, hep = fm.search_range(p)
+        assert (sp[i], ep[i]) == (hsp, hep), p
+
+
+def test_locate_batch(rng):
+    data, _, fm, blk = make_pair(rng, nseq=3)
+    sa = suffix_array_numpy(data)
+    rows = rng.integers(0, len(data), size=200).astype(np.int32)
+    got = np.asarray(fmq.locate_batch(blk, jnp.asarray(rows)))
+    assert np.array_equal(got, sa[rows])
+
+
+@pytest.mark.parametrize("rate", [4, 32])
+def test_decode_text_device(rate, rng):
+    for nseq in [1, 3]:
+        data, _, fm, _ = make_pair(rng, nseq=nseq, rate=rate)
+        got = fmq.decode_text_device(fm)
+        assert bytes(got) == bytes(data)
+
+
+def test_decode_adversarial_order():
+    # first sequence lexicographically larger: breaks uncorrected LF
+    data = np.frombuffer(b"TTTGG\0AAACA\0CCC\0", dtype=np.uint8)
+    fm = build_fm(data, rate=4)
+    got = fmq.decode_text_device(fm)
+    assert bytes(got) == bytes(data)

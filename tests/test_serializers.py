@@ -45,6 +45,23 @@ def test_rbv_rank_select(n, rng):
     assert bv.select1(np.array([len(ones) + 1]))[0] == -1
 
 
+@pytest.mark.parametrize("n", [1, 511, 513, 65537, 70000])
+def test_rbv_native_and_numpy_paths_agree(n, rng, monkeypatch):
+    """The C++ interleaver and the pure-numpy fallback are independent
+    implementations; both must produce the reference layout."""
+    from gecoz_tpu import native
+    import gecoz_tpu.index.rankbv as rankbv
+    bits = rng.integers(0, 2, size=n).astype(np.uint8)
+    data = pack_bits(bits)
+    via_auto = serialize_rbv(data, n)
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    via_numpy = serialize_rbv(data, n)
+    assert via_auto == via_numpy
+    back = deserialize_rbv(np.frombuffer(via_numpy, np.uint8), n)
+    assert np.array_equal(back, data)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3, 63, 64, 65, 513, 1000, 5000])
 def test_iwt_serialize_matches_java_scatter(n, rng):
     perm = rng.permutation(n).astype(np.int64)
