@@ -8,9 +8,10 @@ The reference (redmitry/gecoz) publishes no throughput numbers
 the single-core host (numpy) implementation of the same algorithms — the
 stand-in for the reference's single-threaded Java path.
 
-Pipeline measured: raw block bytes -> suffix array -> BWT -> FM query
-state (the encode core), plus full-text decode and a batched-search leg
-reported as supplementary stderr lines.
+Timing methodology: each measured step is a single jitted program whose
+only fetched output is a scalar checksum folded over every result array,
+so one host round-trip per measurement (dispatch latency is measured
+separately and reported as `rtt_ms`).
 """
 
 from __future__ import annotations
@@ -25,7 +26,6 @@ import numpy as np
 def synth_dna(n: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     syms = np.frombuffer(b"ACGT", np.uint8)
-    # mildly realistic skew + N runs
     data = rng.choice(syms, size=n, p=[0.29, 0.21, 0.21, 0.29]).astype(np.uint8)
     data[: n // 200] = ord("N")
     cuts = np.sort(rng.choice(np.arange(1, n - 1), size=3, replace=False))
@@ -34,22 +34,33 @@ def synth_dna(n: int, seed: int = 7) -> np.ndarray:
     return data
 
 
-def timeit(fn, *args, repeat=3):
+def _checksum(tree):
+    """Fold every array into one int32 scalar (forces full execution)."""
     import jax
+    import jax.numpy as jnp
+    acc = jnp.int32(0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        l = leaf.ravel()
+        probe = l[:: max(1, l.shape[0] // 64)].astype(jnp.int32)
+        acc = acc + jnp.sum(probe, dtype=jnp.int32)
+    return acc
+
+
+def timeit(fn, *args, repeat=3):
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        int(np.asarray(out))            # scalar fetch = full sync
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gecoz_tpu.ops.fmq import decode_text_jit, locate_batch, search_batch
+    from gecoz_tpu.ops.fmq import decode_text_jit, search_batch
     from gecoz_tpu.ops.pipeline import index_block
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 22   # 4 MiB
@@ -59,30 +70,36 @@ def main() -> None:
     data = synth_dna(n)
     d = jax.device_put(jnp.asarray(data), dev)
 
-    # -- warmup / compile
+    # dispatch-latency floor
+    null = jax.jit(lambda x: jnp.sum(x[:8].astype(jnp.int32)))
+    null(d)
+    rtt = timeit(null, d, repeat=5)
+    print(f"# rtt floor: {rtt*1e3:.1f} ms", file=sys.stderr)
+
+    index_ck = jax.jit(lambda x: _checksum(index_block(x)))
     t0 = time.perf_counter()
-    block = index_block(d)
-    jax.block_until_ready(block)
+    int(np.asarray(index_ck(d)))
     print(f"# index compile+run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-
-    t_index, block = timeit(index_block, d)
+    t_index = timeit(index_ck, d)
     mbps_index = n / 1e6 / t_index
     print(f"# index: {t_index*1e3:.1f} ms -> {mbps_index:.1f} MB/s",
           file=sys.stderr)
 
+    block = index_block(d)
+    decode_ck = jax.jit(lambda b: _checksum(decode_text_jit(b)))
     t0 = time.perf_counter()
-    text = decode_text_jit(block)
-    jax.block_until_ready(text)
+    int(np.asarray(decode_ck(block)))
     print(f"# decode compile+run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    t_decode, text = timeit(decode_text_jit, block)
+    t_decode = timeit(decode_ck, block)
     mbps_decode = n / 1e6 / t_decode
     print(f"# decode: {t_decode*1e3:.1f} ms -> {mbps_decode:.1f} MB/s",
           file=sys.stderr)
-    assert np.array_equal(np.asarray(text), data), "decode mismatch"
+    # correctness spot check through the full transfer once
+    assert np.array_equal(np.asarray(decode_text_jit(block)), data), \
+        "decode mismatch"
 
-    # -- batched search
     rng = np.random.default_rng(3)
     B, L = 8192, 16
     starts = rng.integers(0, n - L, size=B)
@@ -90,15 +107,15 @@ def main() -> None:
     lens = np.full(B, L, np.int32)
     pats_d = jax.device_put(jnp.asarray(pats), dev)
     lens_d = jax.device_put(jnp.asarray(lens), dev)
-    search = jax.jit(lambda b, p, l: search_batch(b, p, l))
-    jax.block_until_ready(search(block, pats_d, lens_d))
-    t_search, _ = timeit(search, block, pats_d, lens_d)
-    print(f"# search: {B / t_search / 1e6:.2f} Mqueries/s "
-          f"({L}-mers)", file=sys.stderr)
+    search_ck = jax.jit(
+        lambda b, p, l: _checksum(search_batch(b, p, l)))
+    int(np.asarray(search_ck(block, pats_d, lens_d)))
+    t_search = timeit(search_ck, block, pats_d, lens_d)
+    qps = B / t_search / 1e6
+    print(f"# search: {qps:.2f} Mqueries/s ({L}-mers), "
+          f"{t_search*1e3:.1f} ms/batch", file=sys.stderr)
 
-    # -- host single-core baseline (the reference-style path) on a smaller
-    #    slice, scaled by size (both algorithms are ~linear per MB here)
-    from gecoz_tpu.index.fm import FMIndex
+    # host single-core baseline on a smaller slice
     from gecoz_tpu.index.hswt import HSWT
     from gecoz_tpu.index.shape import HSWTShape
     from gecoz_tpu.index.ssa import SampledSAIndex
@@ -115,7 +132,7 @@ def main() -> None:
     SampledSAIndex.build(sa, 32)
     t_host = time.perf_counter() - t0
     host_mbps = hn / 1e6 / t_host
-    print(f"# host baseline: {host_mbps:.1f} MB/s ({hn >> 20} MiB)",
+    print(f"# host baseline: {host_mbps:.2f} MB/s ({hn >> 20} MiB)",
           file=sys.stderr)
 
     result = {
@@ -126,8 +143,9 @@ def main() -> None:
         "vs_baseline": round(mbps_index / host_mbps, 2),
         "extra": {
             "decode_MBps": round(mbps_decode, 2),
-            "search_Mqps_16mer": round(B / t_search / 1e6, 3),
+            "search_Mqps_16mer": round(qps, 3),
             "host_single_core_MBps": round(host_mbps, 2),
+            "rtt_ms": round(rtt * 1e3, 1),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,212 @@
+"""gzip / BGZF container over the from-scratch deflate codec.
+
+Capabilities of the reference nova-gzip module (GZipFileInputStream.java,
+GZipOutputStream.java, GZipFileOutputStream.java, GZipHeader.java):
+
+* multi-member gzip reading with per-member CRC32 + ISIZE verification,
+* the BGZF `BC` extra subfield (SI1='B', SI2='C', BSIZE = total member
+  size minus one) on both read and write,
+* random access by virtual offset (member file offset << 16 | intra-member
+  offset) as used by BAM/BAI,
+* whole-file and streaming writes; BGZF members capped at 64 KiB of input.
+
+CRC32 comes from the stdlib (`zlib.crc32`) exactly as the reference uses
+the JDK's CRC32 class — the deflate bitstream itself is ours.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+from gecoz_tpu.codec.deflate import Deflater, inflate
+from gecoz_tpu.utils.bits import BitReader, BitWriter
+
+_MAGIC = b"\x1f\x8b"
+FTEXT, FHCRC, FEXTRA, FNAME, FCOMMENT = 1, 2, 4, 8, 16
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class GzipMember:
+    __slots__ = ("offset", "header_size", "bsize", "name", "comment")
+
+    def __init__(self, offset, header_size, bsize, name, comment):
+        self.offset = offset
+        self.header_size = header_size
+        self.bsize = bsize          # BGZF total member size (0 if absent)
+        self.name = name
+        self.comment = comment
+
+
+def parse_member_header(data: bytes, off: int) -> GzipMember:
+    if data[off:off + 2] != _MAGIC:
+        raise ValueError("invalid gzip header")
+    if data[off + 2] != 8:
+        raise ValueError("unknown compression method")
+    flg = data[off + 3]
+    p = off + 10
+    bsize = 0
+    if flg & FEXTRA:
+        xlen = struct.unpack_from("<H", data, p)[0]
+        p += 2
+        end = p + xlen
+        while p + 4 <= end:
+            si1, si2, slen = data[p], data[p + 1], \
+                struct.unpack_from("<H", data, p + 2)[0]
+            p += 4
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, p)[0] + 1
+            p += slen
+        p = end
+    name = comment = None
+    if flg & FNAME:
+        q = data.index(b"\0", p)
+        name = data[p:q].decode("latin-1")
+        p = q + 1
+    if flg & FCOMMENT:
+        q = data.index(b"\0", p)
+        comment = data[p:q].decode("latin-1")
+        p = q + 1
+    if flg & FHCRC:
+        p += 2
+    return GzipMember(off, p - off, bsize, name, comment)
+
+
+class GzipFileReader:
+    """Multi-member gzip/BGZF reader with virtual-offset access."""
+
+    def __init__(self, path: str | Path):
+        self.data = Path(path).read_bytes()
+        if self.data[:2] != _MAGIC:
+            raise ValueError("not a gzip file")
+
+    def read_all(self, verify: bool = True) -> bytes:
+        out = bytearray()
+        off = 0
+        n = len(self.data)
+        while off < n:
+            off = self._read_member(off, out, verify)
+        return bytes(out)
+
+    def _read_member(self, off: int, out: bytearray, verify: bool) -> int:
+        m = parse_member_header(self.data, off)
+        r = BitReader(self.data, (off + m.header_size) * 8)
+        before = len(out)
+        inflate(r, out)
+        r.align()
+        p = r.bytepos
+        crc, isize = struct.unpack_from("<II", self.data, p)
+        if verify:
+            member = bytes(out[before:])
+            if zlib.crc32(member) != crc:
+                raise ValueError("gzip CRC mismatch")
+            if len(member) & 0xFFFFFFFF != isize:
+                raise ValueError("gzip ISIZE mismatch")
+        return p + 8
+
+    # -- BGZF virtual offsets ----------------------------------------------
+
+    def members(self) -> list[GzipMember]:
+        res = []
+        off = 0
+        scratch = bytearray()
+        while off < len(self.data):
+            m = parse_member_header(self.data, off)
+            res.append(m)
+            if m.bsize:
+                off += m.bsize
+            else:
+                scratch.clear()
+                off = self._read_member(off, scratch, False)
+        return res
+
+    def read_from_virtual(self, voffset: int, nbytes: int) -> bytes:
+        """BGZF random access: voffset = block_pos << 16 | within
+        (BAMFileInputStream.java:69-83 convention)."""
+        block_pos = voffset >> 16
+        within = voffset & 0xFFFF
+        out = bytearray()
+        off = block_pos
+        while len(out) < within + nbytes and off < len(self.data):
+            off = self._read_member(off, out, False)
+        return bytes(out[within:within + nbytes])
+
+
+def _member_bytes(payload: bytes, deflater: Deflater, bgzf: bool,
+                  name: str | None = None) -> bytes:
+    body = deflater.deflate(payload).getvalue()
+    flg = (FEXTRA if bgzf else 0) | (FNAME if name else 0)
+    head = bytearray()
+    head += _MAGIC
+    head.append(8)
+    head.append(flg)
+    head += struct.pack("<I", 0)        # mtime
+    head.append(2)                      # xfl: max compression
+    head.append(255)                    # os: unknown
+    if bgzf:
+        total = len(head) + 2 + 6 + len(body) + 8
+        if name:
+            total += len(name) + 1
+        head += struct.pack("<H", 6)    # xlen
+        head += b"BC" + struct.pack("<HH", 2, total - 1)
+    if name:
+        head += name.encode("latin-1") + b"\0"
+    tail = struct.pack("<II", zlib.crc32(payload),
+                       len(payload) & 0xFFFFFFFF)
+    return bytes(head) + body + tail
+
+
+class GzipFileWriter:
+    """gzip (single member) or BGZF (64 KiB members + EOF marker) writer."""
+
+    def __init__(self, path: str | Path, bgzf: bool = False,
+                 matcher: str = "hash", name: str | None = None):
+        self.f = open(path, "wb")
+        self.bgzf = bgzf
+        self.deflater = Deflater(matcher)
+        self.name = name
+        self._buf = bytearray()
+
+    MEMBER = 64 * 1024 - 256            # BGZF input cap per member
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        if self.bgzf:
+            while len(self._buf) >= self.MEMBER:
+                chunk = bytes(self._buf[:self.MEMBER])
+                del self._buf[:self.MEMBER]
+                self.f.write(_member_bytes(chunk, self.deflater, True))
+
+    def close(self) -> None:
+        if self.bgzf:
+            if self._buf:
+                self.f.write(_member_bytes(bytes(self._buf), self.deflater,
+                                           True))
+            self.f.write(_BGZF_EOF)
+        else:
+            self.f.write(_member_bytes(bytes(self._buf), self.deflater,
+                                       False, self.name))
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def gzip_compress(data: bytes, matcher: str = "hash") -> bytes:
+    return _member_bytes(data, Deflater(matcher), False)
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    out = bytearray()
+    off = 0
+    # reuse the reader logic without a file
+    rd = GzipFileReader.__new__(GzipFileReader)
+    rd.data = data
+    while off < len(data):
+        off = rd._read_member(off, out, True)
+    return bytes(out)

@@ -1,0 +1,119 @@
+"""Deflate/gzip/BGZF codec tests: round trips + interop with an
+independent implementation (stdlib zlib/gzip, test-only oracle)."""
+
+import gzip as stdgzip
+import zlib
+
+import numpy as np
+import pytest
+
+from gecoz_tpu.codec.deflate import deflate_bytes, inflate_bytes
+from gecoz_tpu.codec.gzip_file import (GzipFileReader, GzipFileWriter,
+                                       gzip_compress, gzip_decompress)
+from conftest import random_dna
+
+
+CORPORA = [
+    b"",
+    b"a",
+    b"abcabcabcabcabc",
+    b"the quick brown fox jumps over the lazy dog " * 300,
+]
+
+
+@pytest.fixture
+def corpora(rng):
+    return CORPORA + [
+        bytes(rng.integers(0, 256, size=40000, dtype=np.uint8)),
+        bytes(random_dna(rng, 120000)),
+        b"\x00" * 50000,
+    ]
+
+
+@pytest.mark.parametrize("matcher", ["hash", "sa"])
+def test_deflate_roundtrip_and_zlib_interop(matcher, corpora):
+    for data in corpora:
+        comp = deflate_bytes(data, matcher)
+        assert inflate_bytes(comp) == data
+        assert zlib.decompress(comp, wbits=-15) == data
+
+
+def test_inflate_zlib_streams(corpora):
+    for level in (1, 9):
+        for data in corpora:
+            raw = zlib.compress(data, level)[2:-4]
+            assert inflate_bytes(raw) == data
+
+
+def test_gzip_roundtrip(corpora):
+    for data in corpora:
+        g = gzip_compress(data)
+        assert gzip_decompress(g) == data
+        # stdlib can read ours and we can read stdlib's
+        assert stdgzip.decompress(g) == data
+        assert gzip_decompress(stdgzip.compress(data)) == data
+
+
+def test_gzip_file_multi_member(tmp_path, rng):
+    a, b = bytes(random_dna(rng, 5000)), bytes(random_dna(rng, 3000))
+    p = tmp_path / "two.gz"
+    p.write_bytes(gzip_compress(a) + gzip_compress(b))
+    assert GzipFileReader(p).read_all() == a + b
+
+
+def test_bgzf_write_read(tmp_path, rng):
+    data = bytes(random_dna(rng, 300000))
+    p = tmp_path / "x.bgzf"
+    with GzipFileWriter(p, bgzf=True) as w:
+        w.write(data)
+    r = GzipFileReader(p)
+    assert r.read_all() == data
+    members = r.members()
+    assert len(members) >= 5            # 64K-capped members + EOF block
+    assert all(m.bsize > 0 for m in members)
+    # stdlib gzip reads BGZF fine (it is valid multi-member gzip)
+    assert stdgzip.decompress(p.read_bytes()) == data
+
+
+def test_bgzf_virtual_offset(tmp_path, rng):
+    data = bytes(random_dna(rng, 200000))
+    p = tmp_path / "x.bgzf"
+    with GzipFileWriter(p, bgzf=True) as w:
+        w.write(data)
+    r = GzipFileReader(p)
+    members = r.members()
+    # address bytes inside the second member
+    m = members[1]
+    first_len = GzipFileWriter.MEMBER
+    voff = (m.offset << 16) | 100
+    got = r.read_from_virtual(voff, 50)
+    assert got == data[first_len + 100:first_len + 150]
+
+
+def test_corrupt_crc_detected(tmp_path, rng):
+    data = bytes(random_dna(rng, 1000))
+    g = bytearray(gzip_compress(data))
+    g[-6] ^= 0xFF                       # flip a CRC byte
+    with pytest.raises(ValueError):
+        gzip_decompress(bytes(g))
+
+
+def test_gzipped_fasta_input(tmp_path, rng):
+    from gecoz_tpu.formats.fasta import iter_fasta
+    from gecoz_tpu.tools import driver
+    seq = random_dna(rng, 3000)
+    raw = b">chrG test\n"
+    raw += b"\n".join(bytes(seq[i:i + 60]) for i in range(0, len(seq), 60))
+    raw += b"\n"
+    fa = tmp_path / "in.fa.gz"
+    fa.write_bytes(gzip_compress(raw))
+    recs = list(iter_fasta(fa))
+    assert recs[0].header == "chrG test"
+    assert bytes(recs[0].data) == bytes(seq)
+    # full pipeline from gzipped input
+    gcz = tmp_path / "o.gcz"
+    driver.index_fasta(fa, gcz)
+    out = tmp_path / "back.fa"
+    driver.decompress(gcz, out)
+    back = list(iter_fasta(out))
+    assert bytes(back[0].data) == bytes(seq)
