@@ -1,0 +1,176 @@
+"""Block-parallel encoding over a device mesh.
+
+The reference scales with a bounded thread pool over independent blocks
+(GecozFileWriter.WriterPoolExecutor, GecozFileWriter.java:174-227, with
+largest-blocks-first submission, GecoIndex.java:88-98).  The TPU-native
+equivalent is data parallelism over the mesh's 'block' axis:
+
+* the block plan (gecoz_tpu.tools.blocks) is scheduled largest-first onto
+  shards, size-balanced (greedy LPT — the static analog of the reference's
+  work queue);
+* each batch of equal-bucket blocks is padded with trailing ``\\0`` bytes
+  to a common length — appending zeros PRESERVES the relative order of all
+  real suffixes (a suffix entering the padding reads ``\\0`` which is
+  exactly the virtual-end semantics), so the true per-block SA is the
+  padded SA filtered to entries < real length;
+* the padded batch runs one vmapped/sharded suffix-sort step on the mesh,
+  and hosts serialize their shard's blocks; compressed bytes are gathered
+  in header order by the writer (multi-host: process 0 writes).
+
+On a single host this degenerates to efficient batched encoding on the
+local devices; under `jax.distributed` each process encodes its shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def largest_first_schedule(sizes: list[int], n_shards: int) -> list[int]:
+    """Greedy LPT: assign each block (largest first) to the least-loaded
+    shard; returns shard id per block."""
+    order = np.argsort([-s for s in sizes], kind="stable")
+    load = np.zeros(n_shards, dtype=np.int64)
+    assign = np.zeros(len(sizes), dtype=np.int64)
+    for i in order:
+        shard = int(np.argmin(load))
+        assign[i] = shard
+        load[shard] += sizes[i]
+    return assign.tolist()
+
+
+def _bucket_size(n: int) -> int:
+    """Round up to a power of two (bounds recompiles per bucket)."""
+    return 1 << max(8, (n - 1).bit_length())
+
+
+@functools.cache
+def _batched_sa(npad: int):
+    import jax
+
+    from gecoz_tpu.ops.sa_device import _suffix_array_jit
+
+    return jax.jit(jax.vmap(_suffix_array_jit))
+
+
+def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
+    """True suffix arrays for variable-length blocks via one padded,
+    vmapped device sort per size bucket."""
+    import jax.numpy as jnp
+
+    buckets: dict[int, list[int]] = {}
+    for i, b in enumerate(blocks):
+        buckets.setdefault(_bucket_size(len(b)), []).append(i)
+
+    out: list[np.ndarray | None] = [None] * len(blocks)
+    for npad, idxs in buckets.items():
+        batch = np.zeros((len(idxs), npad), dtype=np.uint8)
+        for row, i in enumerate(idxs):
+            batch[row, :len(blocks[i])] = blocks[i]
+        sa_pad = np.asarray(_batched_sa(npad)(jnp.asarray(batch)))
+        for row, i in enumerate(idxs):
+            n = len(blocks[i])
+            sa = sa_pad[row]
+            out[i] = sa[sa < n].astype(np.int64)
+    return out
+
+
+def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
+                  sampling_rate: int = 32) -> list[tuple[bytes, bytes]]:
+    """Encode many blocks: batched device suffix sort + host serialization.
+
+    Returns (gcz_block, gcx_block) per input block, in input order.
+    """
+    from gecoz_tpu.formats.gcz import SSA_HEADER_LEN, RefBlockHeader, \
+        index_size, ref_header_length, write_ssa_header
+    from gecoz_tpu.index.hswt import HSWT
+    from gecoz_tpu.index.shape import HSWTShape
+    from gecoz_tpu.index.ssa import SampledSAIndex
+    from gecoz_tpu.ops.sa import bwt_from_sa
+
+    sas = suffix_arrays_batched(blocks)
+    out = []
+    sf = sampling_rate.bit_length() - 1
+    for data, hdrs, sa in zip(blocks, headers, sas):
+        n = len(data)
+        shape = HSWTShape.from_counts(np.bincount(data, minlength=256))
+        bwt = bwt_from_sa(data, sa)
+        hswt = HSWT.build(bwt, shape)
+        ssa = SampledSAIndex.build(sa, sampling_rate)
+        block_size = ref_header_length(hdrs) + shape.size
+        gcz = RefBlockHeader(hdrs, block_size, n).write() + hswt.serialize()
+        gcx = write_ssa_header(hdrs, index_size(n, sf)) + ssa.serialize()
+        out.append((gcz, gcx))
+    return out
+
+
+@dataclass
+class DistributedContext:
+    """Multi-host coordination (jax.distributed); single-host fallback."""
+
+    process_index: int = 0
+    process_count: int = 1
+
+    @classmethod
+    def initialize(cls) -> "DistributedContext":
+        import os
+
+        import jax
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()
+        try:
+            return cls(jax.process_index(), jax.process_count())
+        except Exception:
+            return cls()
+
+    def my_blocks(self, sizes: list[int]) -> list[int]:
+        assign = largest_first_schedule(sizes, self.process_count)
+        return [i for i, a in enumerate(assign) if a == self.process_index]
+
+
+def index_fasta_parallel(ipath, opath, xpath=None, sampling_rate: int = 32):
+    """FASTA -> gcz with batched device suffix sorts across blocks.
+
+    Multi-host: each process encodes its schedule shard; process 0 gathers
+    in header order and writes (DCN gather is a file-system rendezvous in
+    this single-container build — the jax.distributed allgather drop-in
+    point is marked below).
+    """
+    from pathlib import Path
+
+    from gecoz_tpu.formats.fasta import iter_fasta, read_sequence
+    from gecoz_tpu.formats.gcz import GecozWriter, default_gcx_path
+    from gecoz_tpu.tools.blocks import plan_blocks
+
+    ipath = Path(ipath)
+    sequences = list(iter_fasta(ipath, lazy=True))
+    plans = plan_blocks(sequences)
+
+    datas = []
+    for plan in plans:
+        parts = []
+        for seq in plan.sequences:
+            parts.append(read_sequence(ipath, seq))
+            parts.append(np.zeros(1, dtype=np.uint8))
+        datas.append(np.concatenate(parts))
+
+    ctx = DistributedContext.initialize()
+    mine = ctx.my_blocks([len(d) for d in datas])
+    encoded = {i: blk for i, blk in zip(
+        mine, encode_blocks([datas[i] for i in mine],
+                            [plans[i].headers for i in mine],
+                            sampling_rate))}
+    # multi-host gather point: allgather `encoded` by block id over DCN;
+    # in-process this is already complete
+    if ctx.process_count > 1 and len(encoded) != len(datas):
+        raise NotImplementedError(
+            "cross-process gather requires a shared filesystem rendezvous")
+
+    if ctx.process_index == 0:
+        with GecozWriter(opath, xpath, sampling_rate) as w:
+            for i in range(len(datas)):
+                gcz, gcx = encoded[i]
+                w.write_encoded(gcz, gcx)

@@ -1,0 +1,60 @@
+"""Block-parallel encode: batched padded suffix sorts + scheduling."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from gecoz_tpu.parallel.mesh import (encode_blocks, index_fasta_parallel,
+                                     largest_first_schedule,
+                                     suffix_arrays_batched)
+from gecoz_tpu.formats.gcz import encode_block
+from gecoz_tpu.ops.sa import suffix_array_numpy
+from conftest import random_block, random_dna
+from test_gcz_files import write_fasta
+
+
+def test_schedule_balanced():
+    assign = largest_first_schedule([100, 90, 10, 10, 10, 10], 2)
+    loads = [sum(s for s, a in zip([100, 90, 10, 10, 10, 10], assign)
+                 if a == k) for k in (0, 1)]
+    assert abs(loads[0] - loads[1]) <= 20
+    assert len(set(assign)) == 2
+
+
+def test_padded_batched_sa_is_exact(rng):
+    blocks = []
+    for nseq in (1, 2, 4):
+        data, _ = random_block(rng, nseq=nseq, minlen=20, maxlen=700)
+        blocks.append(data)
+    got = suffix_arrays_batched(blocks)
+    for b, sa in zip(blocks, got):
+        assert np.array_equal(sa, suffix_array_numpy(b))
+
+
+def test_encode_blocks_matches_sequential(rng):
+    blocks, headers = [], []
+    for i in range(4):
+        data, _ = random_block(rng, nseq=2, minlen=50, maxlen=400)
+        blocks.append(data)
+        headers.append([f"s{i}a", f"s{i}b"])
+    par = encode_blocks(blocks, headers)
+    for (gcz, gcx), data, hdrs in zip(par, blocks, headers):
+        sgcz, sgcx = encode_block(data, hdrs, backend="numpy")
+        assert gcz == sgcz
+        assert gcx == sgcx
+
+
+def test_index_fasta_parallel_file_identical(tmp_path, rng):
+    records = [(f"chr{i}", random_dna(rng, int(rng.integers(200, 2000))))
+               for i in range(6)]
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, records)
+    from gecoz_tpu.tools import driver
+    a = tmp_path / "seq.gcz"
+    b = tmp_path / "par.gcz"
+    driver.index_fasta(fa, a)
+    index_fasta_parallel(fa, b)
+    assert a.read_bytes() == b.read_bytes()
+    assert (tmp_path / "seq.gcx").read_bytes() == \
+        (tmp_path / "par.gcx").read_bytes()
