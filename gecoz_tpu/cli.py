@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             print("no search string/filename specified.", file=sys.stderr)
             return 1
         if len(search) == 1 and Path(search[0]).is_file():
-            driver.gff_search(ipath, Path(search[0]))
+            driver.gff_search(ipath, Path(search[0]), backend=backend)
         else:
             header = search[0] if len(search) > 1 else None
             pattern = search[1] if len(search) > 1 else search[0]

@@ -188,17 +188,21 @@ class GecozReader:
 
     def __init__(self, ref_path: str | Path):
         ref_path = Path(ref_path)
-        self.ref_data = np.fromfile(ref_path, dtype=np.uint8)
+        # memory-mapped: block reads touch only their own byte ranges
+        # (the reference mmaps per block, GecozFileReader.java:123)
+        self.ref_data = np.memmap(ref_path, dtype=np.uint8, mode="r")
         ssa_path = default_gcx_path(ref_path)
-        self.ssa_data = (np.fromfile(ssa_path, dtype=np.uint8)
+        self.ssa_data = (np.memmap(ssa_path, dtype=np.uint8, mode="r")
                          if ssa_path.is_file() else None)
 
-        refbytes = self.ref_data.tobytes()
         self.headers: list[RefBlockHeader] = []
         self.offsets: list[int] = []
         pos = 0
-        while pos < len(refbytes):
-            h = RefBlockHeader.parse(refbytes, pos)
+        total = len(self.ref_data)
+        while pos < total:
+            # headers are small; parse from a bounded window
+            win = bytes(self.ref_data[pos:pos + (1 << 16)])
+            h = RefBlockHeader.parse(win, 0)
             self.headers.append(h)
             self.offsets.append(pos)
             pos += h.size
@@ -241,7 +245,8 @@ class GecozReader:
             if h is bheader:
                 break
             ssa_pos += SSA_HEADER_LEN + index_size(h.len, sf)
-        blen, hsh = parse_ssa_header(self.ssa_data.tobytes(), ssa_pos)
+        blen, hsh = parse_ssa_header(
+            bytes(self.ssa_data[ssa_pos:ssa_pos + SSA_HEADER_LEN + len(REF_MAGIC)]), 0)
         if hsh != header_hash(bheader.headers):
             raise ValueError("gcx header hash mismatch")
         if blen != index_size(bheader.len, sf):

@@ -296,50 +296,53 @@ def locate_batch(block: DeviceFMBlock, rows: jax.Array):
 def decode_text_jit(block: DeviceFMBlock):
     """Reconstruct the whole generalized string on device.
 
-    One walk per sampling interval: walk w emits positions
-    [w*rate, min((w+1)*rate, n-1)) backwards; the final terminator at n-1
-    is emitted directly.  All walks advance in lockstep: `rate` rounds of
-    [n/rate]-wide gathers.
+    One walk per sampling interval: walk w covers positions
+    [w*rate, (w+1)*rate) and is seeded at the sampled row with SA value
+    (w+1)*rate, so step j of every full walk writes column rate-1-j — a
+    pure column store, no scatter.  The ragged tail [W*rate, n) rides
+    along as one extra walk seeded at row 0 (SA value n-1) whose early
+    steps burn down to the tail end; its partial emits are fixed up at
+    the end.  All walks advance in lockstep: ~rate rounds of [n/rate]-wide
+    gathers.
     """
     n = block.n
     rate = 1 << block.sf
-    nwalks = (n - 1 + rate - 1) // rate
-    widx = jnp.arange(nwalks, dtype=jnp.int32)
-    starts = widx * rate
-    ends = jnp.minimum((widx + 1) * rate, n - 1)
+    W = (n - 1) // rate                  # full walks
+    tail_lo = W * rate                   # tail covers [tail_lo, n-1)
+    tail_len = (n - 1) - tail_lo         # 0 <= tail_len < rate
 
-    # seeds: row with SA value ends[w] for full walks; the partial last
-    # walk (ends == n-1, not a multiple) starts at row 0 = suffix n-1 and
-    # burns (n-1-ends) masked steps first.
-    full = (ends % rate == 0)
-    seeds = jnp.where(full, _row_with_sa(block, jnp.where(full, ends, 0)), 0)
-    pre_steps = jnp.where(full, 0, (n - 1) - ends)
+    widx = jnp.arange(W, dtype=jnp.int32)
+    seeds = _row_with_sa(block, (widx + 1) * rate)
 
-    out = jnp.zeros((nwalks, rate), dtype=jnp.uint8)
+    out = jnp.zeros((W, rate), dtype=jnp.uint8)
+    tail_out = jnp.zeros((rate,), dtype=jnp.uint8)
+    # tail walk: start at row 0 (suffix n-1); after `burn` steps it sits at
+    # the row whose next emit is position n-2 ... down to tail_lo
+    tail_idx0 = jnp.zeros((1,), jnp.int32)
 
     def body(j, state):
-        idx, pos, out = state
-        burn = pre_steps > j                      # still rewinding row 0
-        emit = (~burn) & (pos >= starts)
+        idx, tidx, out, tail_out = state
         sym = block.bwt[idx]
-        col = jnp.maximum(pos - starts, 0)
-        out = jnp.where(
-            emit[:, None] & (jnp.arange(rate)[None, :] == col[:, None]),
-            sym[:, None], out)
-        nxt = lf_batch(block, idx)
-        step = burn | emit
-        idx = jnp.where(step, nxt, idx)
-        pos = jnp.where(emit, pos - 1, pos)
-        return idx, pos, out
+        out = out.at[:, rate - 1 - j].set(sym) if W else out
+        idx = lf_batch(block, idx) if W else idx
+        # tail: emits positions n-2 .. tail_lo at steps 0 .. tail_len-1
+        tsym = block.bwt[tidx]
+        tail_out = jax.lax.cond(
+            j < tail_len,
+            lambda t: t.at[tail_len - 1 - j].set(tsym[0]),
+            lambda t: t, tail_out)
+        tidx = jnp.where(j < tail_len, lf_batch(block, tidx), tidx)
+        return idx, tidx, out, tail_out
 
-    maxsteps = rate + rate  # pre-steps for the partial walk are < rate
-    idx0 = seeds
-    pos0 = ends - 1
-    _, _, out = jax.lax.fori_loop(0, maxsteps, body, (idx0, pos0, out))
+    _, _, out, tail_out = jax.lax.fori_loop(
+        0, rate, body, (seeds, tail_idx0, out, tail_out))
 
-    text = out.reshape(-1)[:n - 1]
-    text = jnp.concatenate([text, jnp.zeros((1,), jnp.uint8)])
-    return text
+    text = jnp.concatenate([
+        out.reshape(-1),
+        tail_out[:max(tail_len, 0)] if tail_len else jnp.zeros((0,), jnp.uint8),
+        jnp.zeros((1,), jnp.uint8),      # final terminator at n-1
+    ])
+    return text[:n]
 
 
 def _row_with_sa(block: DeviceFMBlock, value):

@@ -1,15 +1,20 @@
 """Suffix-array construction on device (JAX, jittable, mesh-shardable).
 
-Prefix doubling: O(log n) rounds of a 64-bit key sort.  Sorting is the one
-primitive XLA executes at speed-of-light on TPU, unlike the reference's
-induced-sort pointer chasing (SAIS.java) which is irreducibly serial and
-gather-bound.  Each round sorts composite keys ``rank[i] * (n+1) +
-rank[i+k] + 1`` packed in int64 (ranks < n <= 2^31) and re-ranks with a
-vectorized adjacent-difference cumsum.
+Prefix doubling: O(log n) rounds of a two-key int32 sort.  Sorting is the
+one primitive XLA executes at speed-of-light on TPU, unlike the
+reference's induced-sort pointer chasing (SAIS.java) which is irreducibly
+serial and gather-bound.
 
-`lax.while_loop` gives the data-dependent early exit (most genomes resolve
-in far fewer than log2(n) rounds once ranks become distinct) while keeping
-all shapes static for XLA.
+Round-count optimization: initial ranks come from *dense-packed k-mers* —
+symbols are mapped to a dense alphabet (0 reserved for past-the-end, which
+is exactly the virtual-end comparison semantics) and ``chars_per`` symbols
+are packed into one int31 word, so the first sort already orders by
+``chars_per`` characters and doubling starts at k = chars_per.  For DNA
+(4-bit dense codes, 7 chars/word) random genomic text finishes in 2-3
+sorts instead of ~log2(n).
+
+`lax.while_loop` gives the data-dependent early exit while keeping all
+shapes static for XLA.
 """
 
 from __future__ import annotations
@@ -21,59 +26,79 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("ret_rank",))
-def _suffix_array_jit(s: jax.Array, ret_rank: bool = False):
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
+                      bits: int = 9):
+    """Suffix array of `s` (uint8 [n]).
+
+    `dense` maps byte -> dense code in [1, 2^bits); identity+1 when None.
+    """
     n = s.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    # initial ranks = byte values; order via one sort
-    rank = s.astype(jnp.int32)
+    if dense is None:
+        codes = s.astype(jnp.int32) + 1
+    else:
+        codes = dense[s.astype(jnp.int32)]
+
+    # pack chars_per dense codes into one int31 word (big-endian in the
+    # word so integer order == lexicographic order)
+    chars_per = max(1, 31 // bits)
+    rank = jnp.zeros(n, dtype=jnp.int32)
+    for t in range(chars_per):
+        ch = jnp.where(iota + t < n,
+                       codes[jnp.minimum(iota + t, n - 1)], 0)
+        rank = (rank << bits) | ch
 
     def shifted(r, k):
         idx = iota + k
         return jnp.where(idx < n, r[jnp.minimum(idx, n - 1)], jnp.int32(-1))
 
-    def rerank(key_sorted, order):
-        new_group = jnp.concatenate([
-            jnp.ones((1,), jnp.int32),
-            (key_sorted[1:] != key_sorted[:-1]).astype(jnp.int32)])
-        ranks_in_order = jnp.cumsum(new_group) - 1
-        return jnp.zeros(n, jnp.int32).at[order].set(
-            ranks_in_order.astype(jnp.int32))
-
-    def body(state):
-        rank, k, _ = state
-        key2 = shifted(rank, k)
-        # two-key lexicographic sort keeps everything in int32 (TPU-friendly)
-        k1s, k2s, order = jax.lax.sort((rank, key2, iota), num_keys=2)
+    def sort_rerank(key1, key2):
+        k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
         ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
         rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_in_order)
         done = ranks_in_order[n - 1] == n - 1
+        return rank, done
+
+    # compact the packed ranks with one sort
+    rank, done0 = sort_rerank(rank, jnp.zeros(n, jnp.int32))
+
+    def body(state):
+        rank, k, _ = state
+        rank, done = sort_rerank(rank, shifted(rank, k))
         return rank, k * 2, done
 
     def cond(state):
         _, k, done = state
         return jnp.logical_and(~done, k < 2 * n)
 
-    # one initial round with k=0 semantics folded in: key = byte ranks
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(1), jnp.bool_(False)))
+        cond, body, (rank, jnp.int32(chars_per), done0))
 
-    sa = jnp.argsort(rank).astype(jnp.int32)
-    if ret_rank:
-        return sa, rank
-    return sa
+    return jnp.argsort(rank).astype(jnp.int32)
+
+
+def dense_table(symbols) -> tuple[np.ndarray, int]:
+    """(byte -> dense code) table + static bits for a symbol set."""
+    symbols = sorted(int(x) for x in symbols)
+    table = np.zeros(256, dtype=np.int32)
+    for i, sym in enumerate(symbols):
+        table[sym] = i + 1
+    bits = max(1, (len(symbols) + 1 - 1).bit_length())
+    return table, bits
 
 
 def suffix_array_device(s) -> jax.Array:
     """Suffix array of a uint8 array, computed on the default JAX device."""
-    s = jnp.asarray(np.asarray(s, dtype=np.uint8))
+    s = np.asarray(s, dtype=np.uint8)
     if s.shape[0] == 0:
         return jnp.zeros((0,), jnp.int32)
-    return _suffix_array_jit(s)
+    table, bits = dense_table(np.unique(s))
+    return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 
 
 @jax.jit

@@ -33,28 +33,35 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
         raise SystemExit(f"no data found in file: {ipath}")
     blocks = plan_blocks(sequences)
     log.info("indexing %d sequences in %d blocks", len(sequences), len(blocks))
+    from gecoz_tpu.utils import metrics
     with GecozWriter(opath, xpath, sampling, backend=backend) as w:
         for block in blocks:
             parts = []
-            for seq in block.sequences:
-                parts.append(read_sequence(ipath, seq))
-                parts.append(np.zeros(1, dtype=np.uint8))
-            data = np.concatenate(parts)
-            w.write(block.headers, data)
+            with metrics.phase("index.read_fasta"):
+                for seq in block.sequences:
+                    parts.append(read_sequence(ipath, seq))
+                    parts.append(np.zeros(1, dtype=np.uint8))
+                data = np.concatenate(parts)
+            with metrics.phase("index.encode_block", len(data)):
+                w.write(block.headers, data)
     log.info("finished in %d ms", (time.time() - t0) * 1000)
 
 
 def decompress(ipath, opath, backend: str = "auto") -> None:
     """.gcz -> FASTA (GecoRead.fasta)."""
     t0 = time.time()
+    from gecoz_tpu.utils import metrics
     reader = GecozReader(ipath)
     with FastaWriter(opath) as w:
         for bheader in reader.headers:
-            fm = reader.read(bheader)
-            text = _decode_block(fm, backend)
-            for i, header in enumerate(bheader.headers):
-                b, t = fm.seq_bounds(i)
-                w.write(header, text[b:t])
+            with metrics.phase("decode.read_block"):
+                fm = reader.read(bheader)
+            with metrics.phase("decode.extract", bheader.len):
+                text = _decode_block(fm, backend)
+            with metrics.phase("decode.write_fasta"):
+                for i, header in enumerate(bheader.headers):
+                    b, t = fm.seq_bounds(i)
+                    w.write(header, text[b:t])
     log.info("finished in %d ms", (time.time() - t0) * 1000)
 
 
@@ -109,23 +116,44 @@ def match(ipath, header: str | None, pattern: str, show_positions: bool,
 _COMPLEMENT = bytes.maketrans(b"ATCG", b"TAGC")
 
 
-def gff_search(ref_path, fasta_path, out=None) -> None:
+def gff_search(ref_path, fasta_path, out=None, backend: str = "auto") -> None:
     """Query-FASTA search emitting GFF3 rows, forward + reverse complement
-    (SimpleGFFGenerator.search:45-163)."""
+    (SimpleGFFGenerator.search:45-163).
+
+    With backend="device" all queries x strands run as one batched device
+    search per block instead of the reference's per-query loop.
+    """
     out = sys.stdout if out is None else out
     reader = GecozReader(ref_path)
     fms = [(h, reader.read(h)) for h in reader.headers]
 
+    queries = []
     for q in iter_fasta(fasta_path):
         seq = bytes(q.data).replace(b"U", b"T")
-        for reverse in (False, True):
-            s = seq[::-1].translate(_COMPLEMENT) if reverse else seq
+        rev = seq[::-1].translate(_COMPLEMENT)
+        queries.append((q.header, seq, rev))
+
+    if backend == "device":
+        from gecoz_tpu.tools.batch_search import find_batched
+        patterns = [s for _, f, r in queries for s in (f, r)]
+        results = [find_batched(fm, patterns) for _, fm in fms]
+        for qi, (header, fwd, _) in enumerate(queries):
+            for si, reverse in ((2 * qi, False), (2 * qi + 1, True)):
+                for bi, (bheader, _) in enumerate(fms):
+                    for i, hits in sorted(results[bi][si].items()):
+                        for p in hits:
+                            _gff_row(out, bheader.headers[i], int(p),
+                                     len(fwd), reverse, header)
+        return
+
+    for header, fwd, rev in queries:
+        for reverse, s in ((False, fwd), (True, rev)):
             for bheader, fm in fms:
                 res = fm.find(s)
                 for i, hits in sorted(res.items()):
                     for p in hits:
                         _gff_row(out, bheader.headers[i], int(p), len(s),
-                                 reverse, q.header)
+                                 reverse, header)
 
 
 def _gff_row(out, target, pos, plen, reverse, qheader):
