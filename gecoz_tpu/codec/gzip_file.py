@@ -92,19 +92,40 @@ class GzipFileReader:
 
     def _read_member(self, off: int, out: bytearray, verify: bool) -> int:
         m = parse_member_header(self.data, off)
-        r = BitReader(self.data, (off + m.header_size) * 8)
-        before = len(out)
-        inflate(r, out)
-        r.align()
-        p = r.bytepos
+        start = off + m.header_size
+        member, p = self._inflate_member(m, start)
+        out += member
         crc, isize = struct.unpack_from("<II", self.data, p)
         if verify:
-            member = bytes(out[before:])
             if zlib.crc32(member) != crc:
                 raise ValueError("gzip CRC mismatch")
             if len(member) & 0xFFFFFFFF != isize:
                 raise ValueError("gzip ISIZE mismatch")
         return p + 8
+
+    def _inflate_member(self, m: GzipMember, start: int) -> tuple[bytes, int]:
+        try:
+            from gecoz_tpu import native
+            if native.available():
+                if m.bsize:     # BGZF: exact size from the ISIZE footer
+                    cap = struct.unpack_from(
+                        "<I", self.data, m.offset + m.bsize - 4)[0] or 1
+                else:
+                    cap = max(len(self.data) * 4, 1 << 20)
+                while True:
+                    try:
+                        member, bits = native.inflate(
+                            memoryview(self.data)[start:], cap)
+                        return member, start + ((bits + 7) >> 3)
+                    except MemoryError:
+                        cap *= 4
+        except (ValueError, OSError):
+            pass                # fall through to the Python decoder
+        r = BitReader(self.data, start * 8)
+        buf = bytearray()
+        inflate(r, buf)
+        r.align()
+        return bytes(buf), r.bytepos
 
     # -- BGZF virtual offsets ----------------------------------------------
 

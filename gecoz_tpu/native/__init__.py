@@ -25,7 +25,9 @@ def _load() -> ctypes.CDLL | None:
     _TRIED = True
     so = _DIR / "libgecoz.so"
     try:
-        if not so.is_file() or so.stat().st_mtime < (_DIR / "sais.cpp").stat().st_mtime:
+        newest = max((_DIR / "sais.cpp").stat().st_mtime,
+                     (_DIR / "inflate.cpp").stat().st_mtime)
+        if not so.is_file() or so.stat().st_mtime < newest:
             subprocess.run(["make", "-C", str(_DIR)], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(str(so))
@@ -41,6 +43,11 @@ def _load() -> ctypes.CDLL | None:
         lib.gecoz_deinterleave_rbv.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_inflate.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.gecoz_inflate.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -103,3 +110,21 @@ def deinterleave_rbv(buf: np.ndarray, length_bits: int) -> np.ndarray:
     out = np.zeros((length_bits + 7) >> 3, dtype=np.uint8)
     lib.gecoz_deinterleave_rbv(_u8ptr(buf), length_bits, _u8ptr(out))
     return out
+
+
+def inflate(data: np.ndarray | bytes, out_cap: int) -> tuple[bytes, int]:
+    """Fast inflate; returns (decoded, consumed_bits).  Raises on error or
+    insufficient capacity."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(out_cap, dtype=np.uint8)
+    consumed = ctypes.c_int64(0)
+    n = lib.gecoz_inflate(_u8ptr(src), len(src), _u8ptr(out), out_cap,
+                          ctypes.byref(consumed))
+    if n == -2:
+        raise MemoryError("inflate output capacity exceeded")
+    if n < 0:
+        raise ValueError("corrupt deflate stream")
+    return out[:n].tobytes(), int(consumed.value)

@@ -46,13 +46,17 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     chars_per = max(1, 31 // bits)
     rank = jnp.zeros(n, dtype=jnp.int32)
     for t in range(chars_per):
-        ch = jnp.where(iota + t < n,
-                       codes[jnp.minimum(iota + t, n - 1)], 0)
+        # static shift: slice + zero pad (past-the-end reads as 0 = minimal)
+        tt = min(t, n)
+        ch = jnp.concatenate([codes[tt:], jnp.zeros((tt,), jnp.int32)]) \
+            if tt else codes
         rank = (rank << bits) | ch
 
     def shifted(r, k):
-        idx = iota + k
-        return jnp.where(idx < n, r[jnp.minimum(idx, n - 1)], jnp.int32(-1))
+        # r[i+k] with -1 past the end: a dynamic slice of a padded buffer,
+        # NOT a gather (random gathers are ~60ms/4M on v5e; slices are free)
+        padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
+        return jax.lax.dynamic_slice(padded, (k,), (n,))
 
     def sort_rerank(key1, key2):
         k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
