@@ -180,7 +180,8 @@ def _member_bytes(payload: bytes, deflater: Deflater, bgzf: bool,
 
 
 class GzipFileWriter:
-    """gzip (single member) or BGZF (64 KiB members + EOF marker) writer."""
+    """gzip (streaming single member) or BGZF (64 KiB members + EOF marker)
+    writer — the DeflaterOutputStream/GZipFileOutputStream equivalent."""
 
     def __init__(self, path: str | Path, bgzf: bool = False,
                  matcher: str = "hash", name: str | None = None):
@@ -189,8 +190,12 @@ class GzipFileWriter:
         self.deflater = Deflater(matcher)
         self.name = name
         self._buf = bytearray()
+        self._bits: BitWriter | None = None
+        self._crc = 0
+        self._isize = 0
 
     MEMBER = 64 * 1024 - 256            # BGZF input cap per member
+    WINDOW = 32 * 1024                  # plain-gzip streaming window
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -199,6 +204,26 @@ class GzipFileWriter:
                 chunk = bytes(self._buf[:self.MEMBER])
                 del self._buf[:self.MEMBER]
                 self.f.write(_member_bytes(chunk, self.deflater, True))
+        else:
+            while len(self._buf) >= self.WINDOW:
+                chunk = bytes(self._buf[:self.WINDOW])
+                del self._buf[:self.WINDOW]
+                self._stream_chunk(chunk, bfinal=False)
+
+    def _stream_chunk(self, chunk: bytes, bfinal: bool) -> None:
+        if self._bits is None:
+            self._bits = BitWriter()
+            head = bytearray(_MAGIC)
+            head.append(8)
+            head.append(FNAME if self.name else 0)
+            head += struct.pack("<I", 0) + bytes([2, 255])
+            if self.name:
+                head += self.name.encode("latin-1") + b"\0"
+            self.f.write(bytes(head))
+        self.deflater.deflate(chunk, self._bits, bfinal=bfinal)
+        self._crc = zlib.crc32(chunk, self._crc)
+        self._isize += len(chunk)
+        self.f.write(self._bits.drain())
 
     def close(self) -> None:
         if self.bgzf:
@@ -207,8 +232,10 @@ class GzipFileWriter:
                                            True))
             self.f.write(_BGZF_EOF)
         else:
-            self.f.write(_member_bytes(bytes(self._buf), self.deflater,
-                                       False, self.name))
+            self._stream_chunk(bytes(self._buf), bfinal=True)
+            self.f.write(self._bits.getvalue())
+            self.f.write(struct.pack("<II", self._crc,
+                                     self._isize & 0xFFFFFFFF))
         self.f.close()
 
     def __enter__(self):

@@ -170,26 +170,32 @@ class FMIndex:
     # -- extraction --------------------------------------------------------
 
     def decode_text(self) -> np.ndarray:
-        """Reconstruct the whole generalized string.
+        """Reconstruct the whole generalized string."""
+        return self.decode_range(0, self.length)
+
+    def decode_range(self, lo: int, hi: int) -> np.ndarray:
+        """Decode global positions [lo, hi) only.
 
         TPU-shaped decode: one independent LF walk per sampling interval,
         all advanced in lockstep (the device version in ops/fmq.py runs the
-        identical schedule with on-device gathers).
+        identical schedule with on-device gathers).  Work is proportional
+        to the sampling-aligned span, not the block size.
         """
         n = self.length
         rate = 1 << self.index.sampling_factor
-        out = np.zeros(n, dtype=np.uint8)
-        if n == 0:
-            return out
+        if n == 0 or hi <= lo:
+            return np.zeros(max(hi - lo, 0), dtype=np.uint8)
+        out = np.zeros(n, dtype=np.uint8)  # sparse scratch; sliced at end
         out[n - 1] = 0  # final terminator, not covered by a walk
-        nwalks = (n - 1 + rate - 1) // rate  # chunks covering [0, n-1)
-        ends = np.minimum((np.arange(nwalks, dtype=np.int64) + 1) * rate, n - 1)
-        starts = np.arange(nwalks, dtype=np.int64) * rate
+        first = lo // rate
+        last = min((hi - 1) // rate, (n - 2) // rate if n > 1 else 0)
+        walks = np.arange(first, last + 1, dtype=np.int64)
+        ends = np.minimum((walks + 1) * rate, n - 1)
+        starts = walks * rate
+        nwalks = len(walks)
         # walk w emits positions ends[w]-1 down to starts[w]
         rows, values = self.index.sampled_rows()
-        row_of_value = {}  # SA value -> row, for walk seeds
         seed = np.zeros(nwalks, dtype=np.int64)
-        inv = np.zeros(len(values), dtype=np.int64)
         order = np.argsort(values)
         sval = values[order]
         srow = rows[order]
@@ -219,15 +225,15 @@ class FMIndex:
             cur[live] = lf[cur[live]]
             pos[live] -= 1
             live = pos >= starts
-        return out
+        return out[lo:hi]
 
     def extract(self, nstr: int, start: int = 0, end: int | None = None) -> bytes:
-        """Bytes [start, end) of sequence `nstr` (GSSA.extract:90-126)."""
+        """Bytes [start, end) of sequence `nstr` (GSSA.extract:90-126);
+        decodes only the covering sampling-aligned span."""
         b, t = self.seq_bounds(nstr)
         if end is None or b + end > t:
             end = t - b
-        text = self.decode_text()  # host path: full decode then slice
-        return bytes(text[b + start: b + end])
+        return bytes(self.decode_range(b + start, b + end))
 
     def sequence_lengths(self) -> list[int]:
         return [self.seq_length(i) for i in range(self.nseq)]

@@ -51,6 +51,13 @@ class BitWriter:
         self.align()
         return bytes(self._out)
 
+    def drain(self) -> bytes:
+        """Return and clear the complete bytes emitted so far, keeping any
+        partial-byte state (for streaming writers)."""
+        out = bytes(self._out)
+        self._out.clear()
+        return out
+
 
 class BitReader:
     """LSB-first bit reader over a bytes-like object."""

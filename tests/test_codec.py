@@ -90,6 +90,19 @@ def test_bgzf_virtual_offset(tmp_path, rng):
     assert got == data[first_len + 100:first_len + 150]
 
 
+def test_streaming_plain_gzip(tmp_path, rng):
+    import gzip as sg
+    data = bytes(random_dna(rng, 200_000))
+    p = tmp_path / "s.gz"
+    with GzipFileWriter(p, bgzf=False, name="orig.fa") as w:
+        for i in range(0, len(data), 7777):   # dribble writes
+            w.write(data[i:i + 7777])
+    assert GzipFileReader(p).read_all() == data
+    assert sg.decompress(p.read_bytes()) == data
+    m = GzipFileReader(p).members()[0]
+    assert m.name == "orig.fa"
+
+
 def test_corrupt_crc_detected(tmp_path, rng):
     data = bytes(random_dna(rng, 1000))
     g = bytearray(gzip_compress(data))

@@ -100,3 +100,15 @@ def test_locate_all_rows(rng):
     sa = suffix_array_numpy(data)
     got = fm.locate(np.arange(len(data), dtype=np.int64))
     assert np.array_equal(got, sa)
+
+
+def test_decode_range_matches_full(rng):
+    data, seqs = random_block(rng, nseq=3, minlen=40, maxlen=300)
+    for rate in (4, 32):
+        fm = build_fm(data, rate)
+        full = fm.decode_text()
+        n = len(data)
+        for lo, hi in [(0, n), (5, 6), (0, 1), (n - 1, n), (17, 93),
+                       (n // 2, n), (n - rate, n)]:
+            got = fm.decode_range(lo, hi)
+            assert np.array_equal(got, full[lo:hi]), (rate, lo, hi)
