@@ -86,7 +86,8 @@ def main() -> None:
     print(f"# index: {t_index*1e3:.1f} ms -> {mbps_index:.1f} MB/s",
           file=sys.stderr)
 
-    block = index_block(d)
+    from gecoz_tpu.ops.fmq import with_lf_table
+    block = jax.jit(with_lf_table)(index_block(d))
     decode_ck = jax.jit(lambda b: _checksum(decode_text_jit(b)))
     t0 = time.perf_counter()
     int(np.asarray(decode_ck(block)))

@@ -23,6 +23,29 @@ from pathlib import Path
 HELP = __doc__
 
 
+def _retune_malloc(argv: list[str]) -> None:
+    """Re-exec once with glibc malloc tuned for heap reuse.
+
+    Hosts with on-demand-faulted VM memory serve fresh private pages
+    extremely slowly; keeping large buffers in the reusable heap (instead
+    of fresh mmaps trimmed back to the OS) makes steady-state encode an
+    order of magnitude faster.  Harmless elsewhere.  Opt out with
+    GECOZ_NO_MALLOC_TUNING=1.
+    """
+    import os
+    if os.environ.get("GECOZ_NO_MALLOC_TUNING") or \
+            os.environ.get("MALLOC_MMAP_THRESHOLD_"):
+        return
+    env = dict(os.environ)
+    env["MALLOC_MMAP_THRESHOLD_"] = str(1 << 34)
+    env["MALLOC_TRIM_THRESHOLD_"] = str(1 << 34)
+    try:
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "gecoz_tpu.cli"] + argv, env)
+    except OSError:
+        pass
+
+
 def parse_args(argv: list[str]) -> dict[str, list[str]]:
     """Multimap parser (Gecotools.parameters:209-243)."""
     known = {"-h", "--help", "-i", "--input", "-idx", "--index", "-s",
@@ -40,6 +63,7 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    _retune_malloc(argv)
     params = parse_args(argv)
 
     if not params or "-h" in params or "--help" in params:
@@ -61,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no input file found: {ipath}", file=sys.stderr)
         return 1
     backend = (params.get("--backend") or ["auto"])[0]
+    tvals = params.get("-t") or params.get("--threads") or []
+    threads = int(tvals[0]) if tvals else 1
 
     from gecoz_tpu.formats.gcz import check_format
     from gecoz_tpu.tools import driver
@@ -81,7 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             idx = params.get("-idx") or params.get("--index")
             xpath = Path(idx[0]) if idx else None
-            driver.index_fasta(ipath, opath, xpath, backend=backend)
+            driver.index_fasta(ipath, opath, xpath, backend=backend,
+                               threads=threads)
     elif "-s" in params or "--search" in params:
         search = params.get("-s") or params.get("--search")
         if not search:

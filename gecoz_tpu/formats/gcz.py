@@ -108,6 +108,8 @@ def encode_block(data: np.ndarray, headers: list[str],
     """
     data = np.asarray(data, dtype=np.uint8)
     n = len(data)
+    from gecoz_tpu.utils.hostmem import warm_for_block
+    warm_for_block(n)
     counts = np.bincount(data, minlength=256).astype(np.int64)
     shape = HSWTShape.from_counts(counts)
 

@@ -47,11 +47,22 @@ class DeviceFMBlock(NamedTuple):
     mark_pre: jax.Array     # int32 [W]
     ssa_perm: jax.Array     # int32 [m] sampled SA values >> sf, row order
     ssa_inv: jax.Array      # int32 [m] inverse permutation
+    lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
+                            # block fits 24-bit rows, else int32 [lf]; empty
+                            # [0] when not built (see with_lf_table)
     sf: int                 # sampling factor (static)
 
     @property
     def n(self) -> int:
         return self.bwt.shape[0]
+
+    @property
+    def has_lf(self) -> bool:
+        return self.lf_tab.shape[0] > 0
+
+    @property
+    def lf_is_packed(self) -> bool:
+        return self.lf_tab.dtype == jnp.uint32
 
 
 jax.tree_util.register_pytree_node(
@@ -59,6 +70,44 @@ jax.tree_util.register_pytree_node(
     lambda b: (tuple(b[:-1]), b.sf),
     lambda sf, leaves: DeviceFMBlock(*leaves, sf=sf),
 )
+
+
+_PACK_LIMIT = 1 << 23    # lf values below this pack with the symbol in u32
+
+
+def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
+    """Attach the fused LF table (jittable).
+
+    One stable sort of the BWT yields the plain LF mapping (stable argsort
+    groups by symbol preserving row order, which IS C[sym]+rank); the
+    separator correction is a cumsum over the zero plane.  Decode/locate
+    steps then cost ONE gather instead of three (bwt + plane + prefix).
+    """
+    n = block.n
+    if n == 0 or block.has_lf:
+        return block
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sym = block.bwt.astype(jnp.int32)
+    order = jnp.argsort(sym, stable=True)
+    lf = jnp.zeros(n, jnp.int32).at[order].set(iota)
+    is_zero = sym == 0
+    zero_rank = jnp.cumsum(is_zero.astype(jnp.int32)) - 1
+    corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
+    lf = jnp.where(is_zero, corr, lf)
+    lf = jnp.where(iota == block.wrap_row, 0, lf)
+    if n < _PACK_LIMIT:
+        tab = (lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
+    else:
+        tab = lf
+    return block._replace(lf_tab=tab)
+
+
+def _lf_step(block: DeviceFMBlock, idx):
+    """(next_idx, symbol) via the fused table, batched."""
+    if block.lf_is_packed:
+        v = block.lf_tab[idx]
+        return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
+    return block.lf_tab[idx], block.bwt[idx]
 
 
 def _bit_plane(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -117,6 +166,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         mark_pre=jnp.asarray(mark_pre),
         ssa_perm=jnp.asarray(perm),
         ssa_inv=jnp.asarray(inv),
+        lf_tab=jnp.zeros((0,), jnp.int32),
         sf=int(sf),
     )
 
@@ -186,7 +236,8 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         bwt=bwt, planes=jnp.stack(planes), word_pre=jnp.stack(pres),
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
         mark_words=mark_words, mark_pre=mark_pre,
-        ssa_perm=perm, ssa_inv=inv, sf=sf)
+        ssa_perm=perm, ssa_inv=inv,
+        lf_tab=jnp.zeros((0,), jnp.int32), sf=sf)
 
 
 # -- primitive rank ---------------------------------------------------------
@@ -214,6 +265,9 @@ def occ_inclusive(block: DeviceFMBlock, syms, pos):
 
 def lf_batch(block: DeviceFMBlock, idx):
     """Corrected LF mapping for rows `idx` (batched)."""
+    if block.has_lf:
+        nxt, _ = _lf_step(block, idx)
+        return nxt
     syms = block.bwt[idx].astype(jnp.int32)
     occ = occ_inclusive(block, syms, idx)       # inclusive, >= 1
     plain = block.c[syms] + occ - 1
@@ -320,18 +374,26 @@ def decode_text_jit(block: DeviceFMBlock):
     # the row whose next emit is position n-2 ... down to tail_lo
     tail_idx0 = jnp.zeros((1,), jnp.int32)
 
+    use_fused = block.has_lf
+
+    def step(idx):
+        if use_fused:
+            return _lf_step(block, idx)
+        return lf_batch(block, idx), block.bwt[idx]
+
     def body(j, state):
         idx, tidx, out, tail_out = state
-        sym = block.bwt[idx]
-        out = out.at[:, rate - 1 - j].set(sym) if W else out
-        idx = lf_batch(block, idx) if W else idx
+        if W:
+            nxt, sym = step(idx)
+            out = out.at[:, rate - 1 - j].set(sym)
+            idx = nxt
         # tail: emits positions n-2 .. tail_lo at steps 0 .. tail_len-1
-        tsym = block.bwt[tidx]
+        tnxt, tsym = step(tidx)
         tail_out = jax.lax.cond(
             j < tail_len,
             lambda t: t.at[tail_len - 1 - j].set(tsym[0]),
             lambda t: t, tail_out)
-        tidx = jnp.where(j < tail_len, lf_batch(block, tidx), tidx)
+        tidx = jnp.where(j < tail_len, tnxt, tidx)
         return idx, tidx, out, tail_out
 
     _, _, out, tail_out = jax.lax.fori_loop(
@@ -364,5 +426,5 @@ def _row_with_sa(block: DeviceFMBlock, value):
 
 def decode_text_device(fm) -> np.ndarray:
     """Host entry: lift an FMIndex to device, decode, return numpy text."""
-    block = device_block_from_fm(fm)
+    block = jax.jit(with_lf_table)(device_block_from_fm(fm))
     return np.asarray(decode_text_jit(block))

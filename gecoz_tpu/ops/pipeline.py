@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from gecoz_tpu.ops.fmq import (DeviceFMBlock, build_device_block_jit,
-                               decode_text_jit, locate_batch, search_batch)
+                               decode_text_jit, locate_batch, search_batch,
+                               with_lf_table)
 from gecoz_tpu.ops.sa_device import _suffix_array_jit, bwt_device
 
 # '\0' terminator + IUPAC-ish genomic alphabet (static plane set)
@@ -40,7 +41,7 @@ def index_and_query(s: jax.Array, patterns: jax.Array, lengths: jax.Array,
 
     Returns (sp, ep, located_start, text) — exercising every kernel.
     """
-    block = index_block(s, sf=sf, symbols=symbols)
+    block = with_lf_table(index_block(s, sf=sf, symbols=symbols))
     sp, ep = search_batch(block, patterns, lengths)
     start_vals = locate_batch(block, sp)
     text = decode_text_jit(block)

@@ -75,4 +75,8 @@ def bwt_from_sa(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     """BWT[i] = s[sa[i]-1] (s[n-1] when sa[i]==0)
     (GecozFileWriter.BWTDataSource:300-303)."""
     s = np.asarray(s, dtype=np.uint8)
-    return s[(np.asarray(sa, dtype=np.int64) - 1) % len(s)]
+    idx = np.asarray(sa, dtype=np.int64) - 1
+    # NB: `% n` here is pathologically slow in numpy 2.0 (scalar modulo
+    # fallback); a where-style fixup is ~100x faster
+    idx[idx < 0] = len(s) - 1
+    return s[idx]

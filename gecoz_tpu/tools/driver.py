@@ -24,8 +24,14 @@ log = logging.getLogger("gecoz")
 
 
 def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
-                backend: str = "auto") -> None:
-    """FASTA -> .gcz/.gcx (GecoIndex.index)."""
+                backend: str = "auto", threads: int = 1) -> None:
+    """FASTA -> .gcz/.gcx (GecoIndex.index).
+
+    With threads > 1, blocks encode concurrently in a bounded pool (the
+    C++ SA-IS and numpy serializers release the GIL); output order stays
+    the plan order, in-flight work is capped like the reference's 1-deep
+    queue (GecozFileWriter.java:174-201).
+    """
     t0 = time.time()
     ipath = Path(ipath)
     sequences = list(iter_fasta(ipath, lazy=True))
@@ -34,16 +40,40 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
     blocks = plan_blocks(sequences)
     log.info("indexing %d sequences in %d blocks", len(sequences), len(blocks))
     from gecoz_tpu.utils import metrics
+
+    def read_block(block):
+        parts = []
+        with metrics.phase("index.read_fasta"):
+            for seq in block.sequences:
+                parts.append(read_sequence(ipath, seq))
+                parts.append(np.zeros(1, dtype=np.uint8))
+            return np.concatenate(parts)
+
     with GecozWriter(opath, xpath, sampling, backend=backend) as w:
-        for block in blocks:
-            parts = []
-            with metrics.phase("index.read_fasta"):
-                for seq in block.sequences:
-                    parts.append(read_sequence(ipath, seq))
-                    parts.append(np.zeros(1, dtype=np.uint8))
-                data = np.concatenate(parts)
-            with metrics.phase("index.encode_block", len(data)):
-                w.write(block.headers, data)
+        if threads <= 1:
+            for block in blocks:
+                data = read_block(block)
+                with metrics.phase("index.encode_block", len(data)):
+                    w.write(block.headers, data)
+        else:
+            import concurrent.futures as cf
+
+            from gecoz_tpu.formats.gcz import encode_block
+            pool = cf.ThreadPoolExecutor(max_workers=threads)
+            pending = []
+            try:
+                for block in blocks:
+                    data = read_block(block)
+                    pending.append(pool.submit(
+                        encode_block, data, block.headers, sampling, backend))
+                    while len(pending) > threads + 1:
+                        gcz, gcx = pending.pop(0).result()
+                        w.write_encoded(gcz, gcx)
+                for fut in pending:
+                    gcz, gcx = fut.result()
+                    w.write_encoded(gcz, gcx)
+            finally:
+                pool.shutdown()
     log.info("finished in %d ms", (time.time() - t0) * 1000)
 
 
@@ -51,7 +81,10 @@ def decompress(ipath, opath, backend: str = "auto") -> None:
     """.gcz -> FASTA (GecoRead.fasta)."""
     t0 = time.time()
     from gecoz_tpu.utils import metrics
+    from gecoz_tpu.utils.hostmem import warm_for_block
     reader = GecozReader(ipath)
+    if reader.headers:
+        warm_for_block(max(h.len for h in reader.headers))
     with FastaWriter(opath) as w:
         for bheader in reader.headers:
             with metrics.phase("decode.read_block"):
