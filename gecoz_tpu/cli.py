@@ -63,7 +63,6 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    _retune_malloc(argv)
     params = parse_args(argv)
 
     if not params or "-h" in params or "--help" in params:
@@ -132,4 +131,5 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    _retune_malloc(sys.argv[1:])   # re-exec only as a real CLI process
     sys.exit(main())
