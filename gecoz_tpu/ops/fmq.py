@@ -251,14 +251,20 @@ def _rank_words(words, pre, pos):
 
 
 def occ_inclusive(block: DeviceFMBlock, syms, pos):
-    """Count of `syms` in BWT[0..pos] (0 when pos < 0), batched."""
+    """Count of `syms` in BWT[0..pos] (0 when pos < 0), batched.
+
+    Planes are addressed through a flattened [sigma*W] view: one 1D gather
+    instead of a 2D gather per lookup.
+    """
     row = block.sym_plane[syms]
     safe_row = jnp.maximum(row, 0)
     p = jnp.maximum(pos, 0)
     w = p >> 5
-    word = block.planes[safe_row, w]
+    W = block.planes.shape[1]
+    flat = safe_row * W + w
+    word = block.planes.reshape(-1)[flat]
     mask = (jnp.uint32(2) << (p & 31).astype(jnp.uint32)) - jnp.uint32(1)
-    cnt = block.word_pre[safe_row, w] + \
+    cnt = block.word_pre.reshape(-1)[flat] + \
         jax.lax.population_count(word & mask).astype(jnp.int32)
     return jnp.where((pos < 0) | (row < 0), 0, cnt)
 
