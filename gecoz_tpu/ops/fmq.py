@@ -38,8 +38,8 @@ class DeviceFMBlock(NamedTuple):
     aux metadata so loop bounds stay concrete under jit)."""
 
     bwt: jax.Array          # uint8 [n] BWT bytes
-    planes: jax.Array       # uint32 [sigma, W] bit planes (LSB-first)
-    word_pre: jax.Array     # int32 [sigma, W] ones before each word
+    plane_pairs: jax.Array  # uint32 [sigma*W, 2]: (bit words, rank prefix)
+                            # fused so one 2-wide gather serves an occ
     c: jax.Array            # int32 [257] cumulative symbol counts
     sym_plane: jax.Array    # int32 [256] byte -> plane row (-1 if absent)
     wrap_row: jax.Array     # int32 [] row with SA value 0
@@ -55,6 +55,10 @@ class DeviceFMBlock(NamedTuple):
     @property
     def n(self) -> int:
         return self.bwt.shape[0]
+
+    @property
+    def W(self) -> int:
+        return (self.bwt.shape[0] + 31) // 32
 
     @property
     def has_lf(self) -> bool:
@@ -155,10 +159,11 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
     inv = np.zeros(len(perm), dtype=np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
 
+    pairs = np.stack([np.concatenate(planes),
+                      np.concatenate(pres).view(np.uint32)], axis=1)
     return DeviceFMBlock(
         bwt=jnp.asarray(bwt),
-        planes=jnp.asarray(np.stack(planes)),
-        word_pre=jnp.asarray(np.stack(pres)),
+        plane_pairs=jnp.asarray(pairs),
         c=jnp.asarray(c.astype(np.int32)),
         sym_plane=jnp.asarray(sym_plane),
         wrap_row=jnp.asarray(np.int32(wrap_row)),
@@ -232,8 +237,10 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)
 
+    pairs = jnp.stack([jnp.concatenate(planes),
+                       jnp.concatenate(pres).astype(jnp.uint32)], axis=1)
     return DeviceFMBlock(
-        bwt=bwt, planes=jnp.stack(planes), word_pre=jnp.stack(pres),
+        bwt=bwt, plane_pairs=pairs,
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
         mark_words=mark_words, mark_pre=mark_pre,
         ssa_perm=perm, ssa_inv=inv,
@@ -253,19 +260,18 @@ def _rank_words(words, pre, pos):
 def occ_inclusive(block: DeviceFMBlock, syms, pos):
     """Count of `syms` in BWT[0..pos] (0 when pos < 0), batched.
 
-    Planes are addressed through a flattened [sigma*W] view: one 1D gather
-    instead of a 2D gather per lookup.
+    One 2-wide gather per lookup: the bit word and its rank prefix live
+    side by side in `plane_pairs`.
     """
     row = block.sym_plane[syms]
     safe_row = jnp.maximum(row, 0)
     p = jnp.maximum(pos, 0)
     w = p >> 5
-    W = block.planes.shape[1]
-    flat = safe_row * W + w
-    word = block.planes.reshape(-1)[flat]
+    pair = block.plane_pairs[safe_row * block.W + w]
+    word = pair[..., 0]
+    pre = pair[..., 1].astype(jnp.int32)
     mask = (jnp.uint32(2) << (p & 31).astype(jnp.uint32)) - jnp.uint32(1)
-    cnt = block.word_pre.reshape(-1)[flat] + \
-        jax.lax.population_count(word & mask).astype(jnp.int32)
+    cnt = pre + jax.lax.population_count(word & mask).astype(jnp.int32)
     return jnp.where((pos < 0) | (row < 0), 0, cnt)
 
 
