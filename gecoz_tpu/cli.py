@@ -50,7 +50,7 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
     """Multimap parser (Gecotools.parameters:209-243)."""
     known = {"-h", "--help", "-i", "--input", "-idx", "--index", "-s",
              "--search", "-c", "--count", "-a", "--align", "-t", "--threads",
-             "-v", "--verbose", "-o", "--output", "--backend"}
+             "-v", "--verbose", "-o", "--output", "--backend", "--resume"}
     params: dict[str, list[str]] = {}
     values = None
     for arg in argv:
@@ -107,7 +107,8 @@ def main(argv: list[str] | None = None) -> int:
             idx = params.get("-idx") or params.get("--index")
             xpath = Path(idx[0]) if idx else None
             driver.index_fasta(ipath, opath, xpath, backend=backend,
-                               threads=threads)
+                               threads=threads,
+                               resume="--resume" in params)
     elif "-s" in params or "--search" in params:
         search = params.get("-s") or params.get("--search")
         if not search:

@@ -147,12 +147,13 @@ class GecozWriter:
 
     def __init__(self, ref_path: str | Path, ssa_path: str | Path | None = None,
                  sampling_rate: int = DEFAULT_SAMPLING_RATE,
-                 backend: str = "auto"):
+                 backend: str = "auto", append: bool = False):
         ref_path = Path(ref_path)
         if ssa_path is None:
             ssa_path = default_gcx_path(ref_path)
-        self.ref = open(ref_path, "wb")
-        self.ssa = open(ssa_path, "wb")
+        mode = "ab" if append else "wb"
+        self.ref = open(ref_path, mode)
+        self.ssa = open(ssa_path, mode)
         self.sampling_rate = sampling_rate
         self.backend = backend
 

@@ -24,13 +24,20 @@ log = logging.getLogger("gecoz")
 
 
 def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
-                backend: str = "auto", threads: int = 1) -> None:
+                backend: str = "auto", threads: int = 1,
+                resume: bool = False) -> None:
     """FASTA -> .gcz/.gcx (GecoIndex.index).
 
     With threads > 1, blocks encode concurrently in a bounded pool (the
     C++ SA-IS and numpy serializers release the GIL); output order stays
     the plan order, in-flight work is capped like the reference's 1-deep
     queue (GecozFileWriter.java:174-201).
+
+    With resume=True, a partially-written output pair is continued: the
+    self-describing block chain is scanned, complete leading blocks that
+    match the plan are kept, and encoding restarts at the first missing
+    block (crash recovery for long encodes; the reference formats make
+    this possible but its writer never exploited it).
     """
     t0 = time.time()
     ipath = Path(ipath)
@@ -39,6 +46,10 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
         raise SystemExit(f"no data found in file: {ipath}")
     blocks = plan_blocks(sequences)
     log.info("indexing %d sequences in %d blocks", len(sequences), len(blocks))
+    skip = _resume_prefix(opath, xpath, blocks, sampling) if resume else 0
+    if skip:
+        log.info("resuming after %d complete blocks", skip)
+        blocks = blocks[skip:]
     from gecoz_tpu.utils import metrics
 
     def read_block(block):
@@ -49,7 +60,8 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
                 parts.append(np.zeros(1, dtype=np.uint8))
             return np.concatenate(parts)
 
-    with GecozWriter(opath, xpath, sampling, backend=backend) as w:
+    with GecozWriter(opath, xpath, sampling, backend=backend,
+                     append=skip > 0) as w:
         if threads <= 1:
             for block in blocks:
                 data = read_block(block)
@@ -75,6 +87,50 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
             finally:
                 pool.shutdown()
     log.info("finished in %d ms", (time.time() - t0) * 1000)
+
+
+def _resume_prefix(opath, xpath, blocks, sampling) -> int:
+    """Count complete leading blocks of an existing output pair matching
+    the plan; truncate both files to that prefix.  Returns the count."""
+    import os
+
+    from gecoz_tpu.formats.gcz import (RefBlockHeader, SSA_HEADER_LEN,
+                                       default_gcx_path, index_size,
+                                       parse_ssa_header, header_hash)
+    opath = Path(opath)
+    gcx_path = Path(xpath) if xpath else default_gcx_path(opath)
+    if not opath.is_file() or not gcx_path.is_file():
+        return 0
+    ref = opath.read_bytes()
+    ssa = gcx_path.read_bytes()
+    sf = sampling.bit_length() - 1
+    pos = xpos = 0
+    good = 0
+    for block in blocks:
+        try:
+            h = RefBlockHeader.parse(ref, pos)
+        except (ValueError, IndexError):
+            break
+        expected_len = sum(s.length + 1 for s in block.sequences)
+        if h.headers != block.headers or h.len != expected_len \
+                or pos + h.size > len(ref):
+            break
+        xsize = SSA_HEADER_LEN + index_size(h.len, sf)
+        if xpos + xsize > len(ssa):
+            break
+        try:
+            blen, hsh = parse_ssa_header(ssa, xpos)
+        except ValueError:
+            break
+        if hsh != header_hash(h.headers) or blen != index_size(h.len, sf):
+            break
+        pos += h.size
+        xpos += xsize
+        good += 1
+    if good:
+        os.truncate(opath, pos)
+        os.truncate(gcx_path, xpos)
+    return good
 
 
 def decompress(ipath, opath, backend: str = "auto") -> None:

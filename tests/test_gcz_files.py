@@ -153,3 +153,32 @@ def test_header_hash_java_semantics():
     for ch in "AB":
         want = (want * 31 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
     assert h == want
+
+
+def test_resume_partial_encode(tmp_path, rng):
+    records = [(f"chr{i}", random_dna(rng, int(rng.integers(500, 3000))))
+               for i in range(5)]
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, records)
+    full = tmp_path / "full.gcz"
+    driver.index_fasta(fa, full)
+
+    # truncate a copy mid-way: keep 2 complete blocks + garbage tail
+    part = tmp_path / "part.gcz"
+    partx = tmp_path / "part.gcx"
+    r = GecozReader(full)
+    keep = r.offsets[2]
+    from gecoz_tpu.formats.gcz import SSA_HEADER_LEN, index_size
+    sf = r.sampling_factor
+    xkeep = sum(SSA_HEADER_LEN + index_size(h.len, sf)
+                for h in r.headers[:2])
+    part.write_bytes(full.read_bytes()[:keep] + b"GecozBWTgarbage")
+    partx.write_bytes((tmp_path / "full.gcx").read_bytes()[:xkeep + 7])
+
+    driver.index_fasta(fa, part, resume=True)
+    assert part.read_bytes() == full.read_bytes()
+    assert partx.read_bytes() == (tmp_path / "full.gcx").read_bytes()
+
+    # resume over a complete file is a no-op rewrite of nothing
+    driver.index_fasta(fa, part, resume=True)
+    assert part.read_bytes() == full.read_bytes()
