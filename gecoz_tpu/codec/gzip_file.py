@@ -155,9 +155,25 @@ class GzipFileReader:
         return bytes(out[within:within + nbytes])
 
 
-def _member_bytes(payload: bytes, deflater: Deflater, bgzf: bool,
+def _deflate_whole(payload: bytes, matcher: str) -> bytes:
+    """One complete deflate stream; native fast path for auto/native."""
+    if matcher in ("auto", "native"):
+        try:
+            from gecoz_tpu import native
+            if native.available():
+                return native.deflate(payload)
+        except Exception:
+            pass
+        matcher = "hash"
+    return Deflater(matcher).deflate(payload).getvalue()
+
+
+def _member_bytes(payload: bytes, deflater: "Deflater | str", bgzf: bool,
                   name: str | None = None) -> bytes:
-    body = deflater.deflate(payload).getvalue()
+    if isinstance(deflater, str):
+        body = _deflate_whole(payload, deflater)
+    else:
+        body = deflater.deflate(payload).getvalue()
     flg = (FEXTRA if bgzf else 0) | (FNAME if name else 0)
     head = bytearray()
     head += _MAGIC
@@ -184,10 +200,14 @@ class GzipFileWriter:
     writer — the DeflaterOutputStream/GZipFileOutputStream equivalent."""
 
     def __init__(self, path: str | Path, bgzf: bool = False,
-                 matcher: str = "hash", name: str | None = None):
+                 matcher: str = "auto", name: str | None = None):
         self.f = open(path, "wb")
         self.bgzf = bgzf
-        self.deflater = Deflater(matcher)
+        # BGZF members are independent whole streams -> native fast path;
+        # streaming plain gzip needs bit-level continuation -> python codec
+        self.matcher = matcher
+        self.deflater = Deflater("hash" if matcher in ("auto", "native")
+                                 else matcher)
         self.name = name
         self._buf = bytearray()
         self._bits: BitWriter | None = None
@@ -203,7 +223,7 @@ class GzipFileWriter:
             while len(self._buf) >= self.MEMBER:
                 chunk = bytes(self._buf[:self.MEMBER])
                 del self._buf[:self.MEMBER]
-                self.f.write(_member_bytes(chunk, self.deflater, True))
+                self.f.write(_member_bytes(chunk, self.matcher, True))
         else:
             while len(self._buf) >= self.WINDOW:
                 chunk = bytes(self._buf[:self.WINDOW])
@@ -228,7 +248,7 @@ class GzipFileWriter:
     def close(self) -> None:
         if self.bgzf:
             if self._buf:
-                self.f.write(_member_bytes(bytes(self._buf), self.deflater,
+                self.f.write(_member_bytes(bytes(self._buf), self.matcher,
                                            True))
             self.f.write(_BGZF_EOF)
         else:
@@ -245,8 +265,8 @@ class GzipFileWriter:
         self.close()
 
 
-def gzip_compress(data: bytes, matcher: str = "hash") -> bytes:
-    return _member_bytes(data, Deflater(matcher), False)
+def gzip_compress(data: bytes, matcher: str = "auto") -> bytes:
+    return _member_bytes(data, matcher, False)
 
 
 def gzip_decompress(data: bytes) -> bytes:

@@ -25,8 +25,7 @@ def _load() -> ctypes.CDLL | None:
     _TRIED = True
     so = _DIR / "libgecoz.so"
     try:
-        newest = max((_DIR / "sais.cpp").stat().st_mtime,
-                     (_DIR / "inflate.cpp").stat().st_mtime)
+        newest = max(p.stat().st_mtime for p in _DIR.glob("*.cpp"))
         if not so.is_file() or so.stat().st_mtime < newest:
             subprocess.run(["make", "-C", str(_DIR)], check=True,
                            capture_output=True)
@@ -48,6 +47,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
         lib.gecoz_inflate.restype = ctypes.c_int64
+        lib.gecoz_deflate.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.gecoz_deflate.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -128,3 +131,17 @@ def inflate(data: np.ndarray | bytes, out_cap: int) -> tuple[bytes, int]:
     if n < 0:
         raise ValueError("corrupt deflate stream")
     return out[:n].tobytes(), int(consumed.value)
+
+
+def deflate(data: np.ndarray | bytes) -> bytes:
+    """Fast deflate (greedy hash-chain, dynamic Huffman blocks)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    cap = max(1024, len(src) + len(src) // 2 + 1024)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.gecoz_deflate(_u8ptr(src), len(src), _u8ptr(out), cap)
+    if n < 0:
+        raise MemoryError("deflate output capacity exceeded")
+    return out[:n].tobytes()
