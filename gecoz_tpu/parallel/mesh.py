@@ -163,14 +163,34 @@ def index_fasta_parallel(ipath, opath, xpath=None, sampling_rate: int = 32):
         mine, encode_blocks([datas[i] for i in mine],
                             [plans[i].headers for i in mine],
                             sampling_rate))}
-    # multi-host gather point: allgather `encoded` by block id over DCN;
-    # in-process this is already complete
-    if ctx.process_count > 1 and len(encoded) != len(datas):
-        raise NotImplementedError(
-            "cross-process gather requires a shared filesystem rendezvous")
+    encoded = _allgather_encoded(encoded, ctx)
 
     if ctx.process_index == 0:
         with GecozWriter(opath, xpath, sampling_rate) as w:
             for i in range(len(datas)):
                 gcz, gcx = encoded[i]
                 w.write_encoded(gcz, gcx)
+
+
+def _allgather_encoded(encoded: dict, ctx: "DistributedContext") -> dict:
+    """Gather per-process encoded blocks over DCN (the reference-order
+    gather step of GecozFileWriter, lifted to multi-host): each process
+    contributes its shard; every process ends with the full map."""
+    if ctx.process_count <= 1:
+        return encoded
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(encoded), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64))).reshape(-1)
+    m = int(sizes.max())
+    padded = np.zeros(m, np.uint8)
+    padded[:len(payload)] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    out: dict = {}
+    for rank in range(ctx.process_count):
+        out.update(pickle.loads(gathered[rank, :int(sizes[rank])].tobytes()))
+    return out
