@@ -64,10 +64,6 @@ class DeviceFMBlock(NamedTuple):
     def has_lf(self) -> bool:
         return self.lf_tab.shape[0] > 0
 
-    @property
-    def lf_is_packed(self) -> bool:
-        return self.lf_tab.dtype == jnp.uint32
-
 
 jax.tree_util.register_pytree_node(
     DeviceFMBlock,
@@ -102,16 +98,19 @@ def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
     if n < _PACK_LIMIT:
         tab = (lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
     else:
-        tab = lf
+        # rows don't fit 24 bits: (lf, sym) side by side, one 2-wide gather
+        tab = jnp.stack([lf.astype(jnp.uint32),
+                         block.bwt.astype(jnp.uint32)], axis=1)
     return block._replace(lf_tab=tab)
 
 
 def _lf_step(block: DeviceFMBlock, idx):
     """(next_idx, symbol) via the fused table, batched."""
-    if block.lf_is_packed:
-        v = block.lf_tab[idx]
-        return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
-    return block.lf_tab[idx], block.bwt[idx]
+    if block.lf_tab.ndim == 2:
+        pair = block.lf_tab[idx]
+        return pair[..., 0].astype(jnp.int32), pair[..., 1].astype(jnp.uint8)
+    v = block.lf_tab[idx]
+    return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
 
 
 def _bit_plane(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

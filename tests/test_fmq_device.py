@@ -82,3 +82,12 @@ def test_decode_adversarial_order():
     fm = build_fm(data, rate=4)
     got = fmq.decode_text_device(fm)
     assert bytes(got) == bytes(data)
+
+
+def test_decode_with_unpacked_lf_table(rng, monkeypatch):
+    """Blocks past the 24-bit packing limit use the (lf, sym) pair table."""
+    from gecoz_tpu.ops import fmq
+    monkeypatch.setattr(fmq, "_PACK_LIMIT", 16)
+    data, _, fm, _ = make_pair(rng, nseq=2, rate=4, minlen=100, maxlen=400)
+    got = fmq.decode_text_device(fm)
+    assert bytes(got) == bytes(data)
