@@ -102,7 +102,7 @@ def main() -> None:
         "decode mismatch"
 
     rng = np.random.default_rng(3)
-    B, L = 8192, 16
+    B, L = 65536, 16
     starts = rng.integers(0, n - L, size=B)
     pats = np.stack([data[s:s + L] for s in starts]).astype(np.uint8)
     lens = np.full(B, L, np.int32)
