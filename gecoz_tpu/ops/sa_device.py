@@ -59,6 +59,9 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
         return jax.lax.dynamic_slice(padded, (k,), (n,))
 
     def sort_rerank(key1, key2):
+        # NB more keys per round (prefix tripling/quadrupling) would cut
+        # round counts on long runs, but >3-operand lax.sort inside a
+        # while_loop blows up Mosaic compile time by an order of magnitude
         k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
