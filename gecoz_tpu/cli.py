@@ -50,7 +50,8 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
     """Multimap parser (Gecotools.parameters:209-243)."""
     known = {"-h", "--help", "-i", "--input", "-idx", "--index", "-s",
              "--search", "-c", "--count", "-a", "--align", "-t", "--threads",
-             "-v", "--verbose", "-o", "--output", "--backend", "--resume"}
+             "-v", "--verbose", "-o", "--output", "--backend", "--resume",
+             "--sampling"}
     params: dict[str, list[str]] = {}
     values = None
     for arg in argv:
@@ -86,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     backend = (params.get("--backend") or ["auto"])[0]
     tvals = params.get("-t") or params.get("--threads") or []
     threads = int(tvals[0]) if tvals else 1
+    svals = params.get("--sampling") or []
+    sampling = int(svals[0]) if svals else 32
 
     from gecoz_tpu.formats.gcz import check_format
     from gecoz_tpu.tools import driver
@@ -106,8 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             idx = params.get("-idx") or params.get("--index")
             xpath = Path(idx[0]) if idx else None
-            driver.index_fasta(ipath, opath, xpath, backend=backend,
-                               threads=threads,
+            driver.index_fasta(ipath, opath, xpath, sampling=sampling,
+                               backend=backend, threads=threads,
                                resume="--resume" in params)
     elif "-s" in params or "--search" in params:
         search = params.get("-s") or params.get("--search")

@@ -383,3 +383,31 @@ class BAI:
                              for i in range(n_intv)]
             p += 8 * n_intv
         return bai
+
+
+# -- SAM <-> BAM conversion -------------------------------------------------
+
+def bam_to_sam(bam_path, sam_path) -> None:
+    """Dump a BAM as SAM text (header + records)."""
+    from gecoz_tpu.formats.sam import SAMHeader
+    r = BAMFileReader(bam_path)
+    with open(sam_path, "w") as f:
+        text = r.header.text
+        if text and not text.endswith("\n"):
+            text += "\n"
+        f.write(text)
+        for rec, _ in r.records():
+            f.write(rec.format() + "\n")
+
+
+def sam_to_bam(sam_path, bam_path) -> None:
+    """Encode SAM text as BAM (reference names/lengths from @SQ lines)."""
+    from gecoz_tpu.formats.sam import read_sam
+    header, records = read_sam(sam_path)
+    names = [sq["SN"] for sq in header.references]
+    lengths = [int(sq.get("LN", 0)) for sq in header.references]
+    text = Path(sam_path).read_text()
+    htext = "".join(l + "\n" for l in text.splitlines() if l.startswith("@"))
+    with BAMFileWriter(bam_path, BAMHeader(htext, names, lengths)) as w:
+        for rec in records:
+            w.write(rec)

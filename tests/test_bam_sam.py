@@ -107,3 +107,19 @@ def test_reg2bin_scheme():
     assert reg2bin(0, 1 << 15) == 585
     assert 4681 + (12345 >> 14) in reg2bins(12345, 12346)
     assert 0 in reg2bins(0, 1 << 29)
+
+
+def test_sam_bam_sam_roundtrip(tmp_path, rng):
+    from gecoz_tpu.formats.bam import bam_to_sam, sam_to_bam
+    sam = tmp_path / "a.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrQ\tLN:5000\n"
+        "r1\t0\tchrQ\t100\t60\t8M\t*\t0\t0\tACGTACGT\tIIIIIIII\tNM:i:0\n"
+        "r2\t16\tchrQ\t220\t37\t4M1I3M\t*\t0\t0\tGGGGTCCC\tFFFFFFFF\n")
+    bam = tmp_path / "a.bam"
+    sam_to_bam(sam, bam)
+    back = tmp_path / "b.sam"
+    bam_to_sam(bam, back)
+    orig_recs = [l for l in sam.read_text().splitlines() if not l.startswith("@")]
+    back_recs = [l for l in back.read_text().splitlines() if not l.startswith("@")]
+    assert orig_recs == back_recs

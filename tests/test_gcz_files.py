@@ -182,3 +182,39 @@ def test_resume_partial_encode(tmp_path, rng):
     # resume over a complete file is a no-op rewrite of nothing
     driver.index_fasta(fa, part, resume=True)
     assert part.read_bytes() == full.read_bytes()
+
+
+def test_sampling_rate_flag(tmp_path, rng):
+    seq = random_dna(rng, 3000)
+    fa = tmp_path / "s.fa"
+    write_fasta(fa, [("chrS", seq)])
+    for rate in (8, 64):
+        gcz = tmp_path / f"s{rate}.gcz"
+        assert cli_main(["-i", str(fa), "-o", str(gcz),
+                         "--sampling", str(rate)]) == 0
+        r = GecozReader(gcz)
+        assert r.sampling_factor == rate.bit_length() - 1
+        fm = r.read(r.headers[0])
+        assert fm.extract(0) == bytes(seq)
+
+
+def test_fuzz_roundtrip_many_seeds(tmp_path):
+    """Randomized end-to-end property sweep."""
+    for seed in range(12):
+        rng = np.random.default_rng(1000 + seed)
+        nseq = int(rng.integers(1, 6))
+        alphabet = [b"ACGT", b"ACGTN", b"AB", b"ACGTNacgtn"][seed % 4]
+        records = []
+        for i in range(nseq):
+            n = int(rng.integers(0, 800))
+            records.append((f"s{seed}_{i}", random_dna(rng, n, alphabet)
+                            if n else np.zeros(0, np.uint8)))
+        fa = tmp_path / f"f{seed}.fa"
+        write_fasta(fa, records)
+        gcz = tmp_path / f"f{seed}.gcz"
+        driver.index_fasta(fa, gcz)
+        out = tmp_path / f"f{seed}.out.fa"
+        driver.decompress(gcz, out)
+        back = {s.header: bytes(s.data) for s in iter_fasta(out)}
+        for h, s in records:
+            assert back[h] == bytes(s), (seed, h)
