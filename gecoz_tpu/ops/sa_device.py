@@ -69,24 +69,26 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
         ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
         rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_in_order)
         done = ranks_in_order[n - 1] == n - 1
-        return rank, done
+        return rank, order, done
 
     # compact the packed ranks with one sort
-    rank, done0 = sort_rerank(rank, jnp.zeros(n, jnp.int32))
+    rank, order, done0 = sort_rerank(rank, jnp.zeros(n, jnp.int32))
 
     def body(state):
-        rank, k, _ = state
-        rank, done = sort_rerank(rank, shifted(rank, k))
-        return rank, k * 2, done
+        rank, order, k, _ = state
+        rank, order, done = sort_rerank(rank, shifted(rank, k))
+        return rank, order, k * 2, done
 
     def cond(state):
-        _, k, done = state
+        _, _, k, done = state
         return jnp.logical_and(~done, k < 2 * n)
 
-    rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(chars_per), done0))
+    # once ranks are all distinct, the last round's sort order IS the
+    # suffix array — no final argsort needed
+    _, order, _, _ = jax.lax.while_loop(
+        cond, body, (rank, order, jnp.int32(chars_per), done0))
 
-    return jnp.argsort(rank).astype(jnp.int32)
+    return order.astype(jnp.int32)
 
 
 def dense_table(symbols) -> tuple[np.ndarray, int]:
