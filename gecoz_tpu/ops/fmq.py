@@ -3,9 +3,11 @@
 Design (vs the reference's per-query pointer chasing, GSSA.java:187-251):
 
 * Query state is flat device arrays, not the serialized wavelet layout:
-  one bit plane per live symbol (`planes`) with a per-32-bit-word rank
-  prefix (`word_pre`), so occ(sym, pos) is 2 aligned gathers + a popcount —
-  versus 2 gathers *per wavelet level* in the tree walk.  For genomic
+  one bit plane per live symbol with its per-32-bit-word rank prefix fused
+  alongside (`plane_pairs`), so occ(sym, pos) is one 2-wide gather + a
+  popcount — versus 2 gathers *per wavelet level* in the tree walk, and a
+  fused (lf, symbol) table makes decode/locate steps a single gather
+  (`with_lf_table`).  For genomic
   alphabets (sigma <= 16) this costs ~0.2*sigma bytes/symbol of HBM and
   roughly triples decode speed.  (The wavelet tree remains the *storage*
   format; planes are built at load/encode time.)
@@ -48,8 +50,8 @@ class DeviceFMBlock(NamedTuple):
     ssa_perm: jax.Array     # int32 [m] sampled SA values >> sf, row order
     ssa_inv: jax.Array      # int32 [m] inverse permutation
     lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
-                            # block fits 24-bit rows, else int32 [lf]; empty
-                            # [0] when not built (see with_lf_table)
+                            # block fits 24-bit rows, else uint32 [n,2]
+                            # (lf, sym) pairs; empty when not built
     sf: int                 # sampling factor (static)
 
     @property

@@ -134,10 +134,9 @@ class DistributedContext:
 def index_fasta_parallel(ipath, opath, xpath=None, sampling_rate: int = 32):
     """FASTA -> gcz with batched device suffix sorts across blocks.
 
-    Multi-host: each process encodes its schedule shard; process 0 gathers
-    in header order and writes (DCN gather is a file-system rendezvous in
-    this single-container build — the jax.distributed allgather drop-in
-    point is marked below).
+    Multi-host: each process encodes its schedule shard, the encoded
+    bytes are allgathered over the distributed backend, and process 0
+    writes in plan order.
     """
     from pathlib import Path
 
