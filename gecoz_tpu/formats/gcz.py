@@ -238,10 +238,11 @@ class GecozReader:
         hswt = HSWT.read(self.ref_data[off:self.offsets[i] + bheader.size],
                          bheader.len)
         if self.ssa_data is None:
-            raise NotImplementedError(
-                "rebuilding the sampled index without a .gcx is not supported"
-                " (the reference's tree-only path is non-functional:"
-                " GSSAIndex.java:88-127)")
+            # counting still works (occ-only); locate/extract need samples.
+            # NB the reference silently builds a broken index here
+            # (GSSAIndex.java:88-127) and then hangs/corrupts on locate;
+            # we expose a count-only FM-index instead.
+            return FMIndex(hswt, None)
         sf = self.sampling_factor
         ssa_pos = 0
         for h in self.headers:

@@ -59,9 +59,20 @@ class FMIndex:
         return int(self.c[1]) if self.length else 0
 
     @property
+    def has_index(self) -> bool:
+        return self.index is not None
+
+    def _require_index(self) -> None:
+        if self.index is None:
+            raise SystemExit(
+                "missing .gcx sampled-SA index: locate/extract need it "
+                "(only counting works without one)")
+
+    @property
     def wrap_row(self) -> int:
         """Row whose SA value is 0 (always sampled: 0 % rate == 0)."""
         if self._wrap is None:
+            self._require_index()
             self._wrap = int(np.asarray(self.index.find(np.int64(0))))
         return self._wrap
 
@@ -126,6 +137,7 @@ class FMIndex:
     def locate(self, rows: np.ndarray) -> np.ndarray:
         """SA values for `rows`, batched LF walks to the nearest sample
         (GSSA.locate:241-251, corrected LF)."""
+        self._require_index()
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
         idx = rows.copy()
         steps = np.zeros(len(rows), dtype=np.int64)

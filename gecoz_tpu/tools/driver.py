@@ -189,6 +189,15 @@ def match(ipath, header: str | None, pattern: str, show_positions: bool,
         blocks = [b]
     for bheader in blocks:
         fm = reader.read(bheader)
+        if not fm.has_index:
+            # count-only mode: no .gcx, so hits cannot be split/located
+            c = fm.count_total(pattern.encode())
+            if c:
+                print(f">{'|'.join(bheader.headers)} found : {c} "
+                      f"(no .gcx: block total, positions unavailable)",
+                      file=out)
+                total += c
+            continue
         res = fm.find(pattern.encode())
         for i, hits in sorted(res.items()):
             if header is not None and bheader.headers[i] != header:

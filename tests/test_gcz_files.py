@@ -218,3 +218,19 @@ def test_fuzz_roundtrip_many_seeds(tmp_path):
         back = {s.header: bytes(s.data) for s in iter_fasta(out)}
         for h, s in records:
             assert back[h] == bytes(s), (seed, h)
+
+
+def test_count_without_gcx(tmp_path, rng, capsys):
+    seq = random_dna(rng, 2000)
+    fa = tmp_path / "n.fa"
+    write_fasta(fa, [("chrN", seq)])
+    gcz = tmp_path / "n.gcz"
+    driver.index_fasta(fa, gcz)
+    (tmp_path / "n.gcx").unlink()
+    pat = bytes(seq[500:512]).decode()
+    total = driver.match(gcz, None, pat, show_positions=False)
+    assert total >= 1
+    # locate/extract fail with a clear message
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="gcx"):
+        driver.extract_range(gcz, "chrN", 0, 10, tmp_path / "x.seq")
