@@ -71,9 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     level = (params.get("-v") or params.get("--verbose") or ["WARNING"])
+    name = (level[0].upper() if level else "WARNING")
+    # accept java.util.logging level names (Gecotools.java -v contract)
+    java_levels = {"SEVERE": "ERROR", "FINE": "DEBUG", "FINER": "DEBUG",
+                   "FINEST": "DEBUG", "ALL": "DEBUG", "OFF": "CRITICAL",
+                   "CONFIG": "INFO"}
+    name = java_levels.get(name, name)
     logging.basicConfig(
-        level=getattr(logging, level[0].upper() if level else "WARNING",
-                      logging.WARNING),
+        level=getattr(logging, name, logging.WARNING),
         format="%(message)s")
 
     inp = params.get("-i") or params.get("--input")
