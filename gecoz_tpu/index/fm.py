@@ -182,7 +182,36 @@ class FMIndex:
     # -- extraction --------------------------------------------------------
 
     def decode_text(self) -> np.ndarray:
-        """Reconstruct the whole generalized string."""
+        """Reconstruct the whole generalized string (native fast path when
+        available; identical output to decode_range(0, n))."""
+        n = self.length
+        if n == 0:
+            return np.zeros(0, dtype=np.uint8)
+        try:
+            from gecoz_tpu import native
+            if self.index is not None and native.available():
+                rate = 1 << self.index.sampling_factor
+                nwalks = (n - 1 + rate - 1) // rate
+                if nwalks:
+                    rows, values = self.index.sampled_rows()
+                    row_by_chunk = np.zeros(len(values), dtype=np.int64)
+                    row_by_chunk[values >> self.index.sampling_factor] = rows
+                    ends = np.minimum(
+                        (np.arange(nwalks, dtype=np.int64) + 1) * rate, n - 1)
+                    full = ends % rate == 0
+                    seeds = np.zeros(nwalks, dtype=np.int64)
+                    seeds[full] = row_by_chunk[ends[full] >> self.index.sampling_factor]
+                    tail_rewind = 0
+                    if not full[-1]:
+                        # partial tail: C++ rewinds from row 0 (SA = n-1)
+                        seeds[-1] = 0
+                        tail_rewind = int((n - 1) - ends[-1])
+                    text = native.fm_decode(self.bwt, self.wrap_row, seeds,
+                                            rate, tail_rewind)
+                    text[n - 1] = 0
+                    return text
+        except RuntimeError:
+            pass
         return self.decode_range(0, self.length)
 
     def decode_range(self, lo: int, hi: int) -> np.ndarray:

@@ -51,6 +51,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.gecoz_deflate.restype = ctypes.c_int64
+        lib.gecoz_fm_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -145,3 +149,21 @@ def deflate(data: np.ndarray | bytes) -> bytes:
     if n < 0:
         raise MemoryError("deflate output capacity exceeded")
     return out[:n].tobytes()
+
+
+def fm_decode(bwt: np.ndarray, wrap_row: int, seeds: np.ndarray,
+              rate: int, tail_rewind: int = 0) -> np.ndarray:
+    """Full-text decode via C++ LF walks (one per sampling interval)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    n = len(bwt)
+    text = np.zeros(n, dtype=np.uint8)
+    if n:
+        lib.gecoz_fm_decode(
+            _u8ptr(bwt), n, wrap_row,
+            seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seeds), rate, tail_rewind, _u8ptr(text))
+    return text

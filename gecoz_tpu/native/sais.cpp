@@ -216,3 +216,50 @@ void gecoz_deinterleave_rbv(const uint8_t* buf, int64_t len_bits,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Full-text FM decode: per-sampling-interval backward LF walks in C++.
+// bwt: BWT bytes; wrap_row: row with SA value 0; seeds[w]: BWT row whose
+// SA value is (w+1)*rate for w < nwalks (the last walk may be partial:
+// its seed must carry SA value tail_hi and emits tail_hi-1 .. w*rate).
+// Emits text[0 .. n-2]; the caller writes the final terminator at n-1.
+// tail_rewind: LF pre-steps for the LAST walk before it starts emitting
+// (used when the tail is partial: its seed is row 0 = SA value n-1).
+void gecoz_fm_decode(const uint8_t* bwt, int64_t n, int64_t wrap_row,
+                     const int64_t* seeds, int64_t nwalks, int64_t rate,
+                     int64_t tail_rewind, uint8_t* text) {
+  // LF table: counting pass (c buckets), then the separator correction
+  std::vector<int64_t> c(257, 0);
+  for (int64_t i = 0; i < n; ++i) c[bwt[i] + 1]++;
+  for (int i = 0; i < 256; ++i) c[i + 1] += c[i];
+  std::vector<int64_t> lf(n);
+  {
+    std::vector<int64_t> seen(256, 0);
+    int64_t zero_rank = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t s = bwt[i];
+      if (s == 0) {
+        lf[i] = 1 + zero_rank - (wrap_row < i ? 1 : 0);
+        zero_rank++;
+      } else {
+        lf[i] = c[s] + seen[s]++;
+      }
+    }
+    if (wrap_row >= 0 && wrap_row < n) lf[wrap_row] = 0;
+  }
+  for (int64_t w = 0; w < nwalks; ++w) {
+    int64_t hi = (w + 1) * rate;             // exclusive top position
+    if (hi > n - 1) hi = n - 1;              // tail walk
+    int64_t lo = w * rate;
+    int64_t idx = seeds[w];
+    if (w == nwalks - 1)
+      for (int64_t p = 0; p < tail_rewind; ++p) idx = lf[idx];
+    for (int64_t pos = hi - 1; pos >= lo; --pos) {
+      text[pos] = bwt[idx];
+      idx = lf[idx];
+    }
+  }
+}
+
+}  // extern "C"
