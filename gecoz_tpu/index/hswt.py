@@ -145,6 +145,12 @@ class HSWT:
         for s in np.flatnonzero(self.shape.bit_lengths > 0):
             leaf[(int(self.shape.bit_lengths[s]), int(self.shape.codes[s]))] = int(s)
 
+        try:
+            from gecoz_tpu import native
+            use_native = native.available()
+        except Exception:
+            use_native = False
+
         def walk(level: int, prefix: int, positions: np.ndarray) -> None:
             sym = leaf.get((level, prefix))
             if sym is not None:
@@ -154,12 +160,17 @@ class HSWT:
             if key not in self.nodes or len(positions) == 0:
                 return
             node = self.nodes[key]
-            bits = np.unpackbits(node.data, count=node.length,
-                                 bitorder="little")
-            walk(level + 1, prefix, positions[bits == 0])
-            walk(level + 1, prefix | (1 << level), positions[bits == 1])
+            if use_native:
+                left, right = native.wt_partition(node.data, positions)
+            else:
+                bits = np.unpackbits(node.data, count=node.length,
+                                     bitorder="little")
+                left = positions[bits == 0]
+                right = positions[bits == 1]
+            walk(level + 1, prefix, left)
+            walk(level + 1, prefix | (1 << level), right)
 
-        walk(0, 0, np.arange(n, dtype=np.int64))
+        walk(0, 0, np.arange(n, dtype=np.int32 if use_native else np.int64))
         return bwt
 
     def getRS(self, pos: int) -> tuple[int, int]:

@@ -55,6 +55,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_wt_partition.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.gecoz_wt_partition.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -167,3 +172,18 @@ def fm_decode(bwt: np.ndarray, wrap_row: int, seeds: np.ndarray,
             seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(seeds), rate, tail_rewind, _u8ptr(text))
     return text
+
+
+def wt_partition(bits: np.ndarray, positions: np.ndarray):
+    """Split a wavelet node's element positions by its bit vector."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    positions = np.ascontiguousarray(positions, dtype=np.int32)
+    left = np.empty(len(positions), dtype=np.int32)
+    right = np.empty(len(positions), dtype=np.int32)
+    nl = lib.gecoz_wt_partition(
+        _u8ptr(bits), _i32ptr(positions), len(positions),
+        _i32ptr(left), _i32ptr(right))
+    return left[:nl], right[:len(positions) - nl]

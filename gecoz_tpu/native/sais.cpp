@@ -263,3 +263,23 @@ void gecoz_fm_decode(const uint8_t* bwt, int64_t n, int64_t wrap_row,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Wavelet-node partition: element i of the node carries positions[i]; its
+// bit routes it to the left (0) or right (1) child, preserving order.
+// Returns the number of left elements; rights are written to out_right.
+int64_t gecoz_wt_partition(const uint8_t* bits, const int32_t* positions,
+                           int64_t npos, int32_t* out_left,
+                           int32_t* out_right) {
+  int64_t nl = 0, nr = 0;
+  for (int64_t i = 0; i < npos; ++i) {
+    if ((bits[i >> 3] >> (i & 7)) & 1)
+      out_right[nr++] = positions[i];
+    else
+      out_left[nl++] = positions[i];
+  }
+  return nl;
+}
+
+}  // extern "C"
