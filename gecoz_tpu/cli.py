@@ -51,7 +51,7 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
     known = {"-h", "--help", "-i", "--input", "-idx", "--index", "-s",
              "--search", "-c", "--count", "-a", "--align", "-t", "--threads",
              "-v", "--verbose", "-o", "--output", "--backend", "--resume",
-             "--sampling"}
+             "--sampling", "--check", "--deep"}
     params: dict[str, list[str]] = {}
     values = None
     for arg in argv:
@@ -98,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     from gecoz_tpu.formats.gcz import check_format
     from gecoz_tpu.tools import driver
 
+    if "--check" in params:
+        ok = driver.check(ipath, deep="--deep" in params)
+        return 0 if ok else 1
     if "-o" in params or "--output" in params:
         out = params.get("-o") or params.get("--output")
         if not out:

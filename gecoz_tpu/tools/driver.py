@@ -262,3 +262,38 @@ def _gff_row(out, target, pos, plen, reverse, qheader):
         attrs += f";Note={extra}"
     print(f"{target}\tgecotools\tdna\t{pos + 1}\t{pos + plen}\t1.000\t"
           f"{strand}\t.\t{attrs}", file=out)
+
+
+def check(ipath, deep: bool = False, out=None) -> bool:
+    """Validate a .gcz/.gcx pair: header chain, index sizes and hashes,
+    and (deep) a full decode of every block's wavelet tree.
+
+    The formats are self-describing block chains (GecozFileReader.java:
+    81-88 scans them the same way), so verification is streaming.
+    """
+    out = sys.stdout if out is None else out
+    try:
+        reader = GecozReader(ipath)
+    except (ValueError, IndexError) as ex:
+        print(f"CORRUPT: {ex}", file=out)
+        return False
+    ok = True
+    for bheader in reader.headers:
+        status = "ok"
+        try:
+            fm = reader.read(bheader)       # validates gcx hash + length
+            if not fm.has_index:
+                status = "ok (no .gcx)"
+            if deep:
+                text = fm.decode_text() if fm.has_index else None
+                if text is not None:
+                    counts = np.bincount(fm.bwt, minlength=256)
+                    if not np.array_equal(np.bincount(text, minlength=256),
+                                          counts):
+                        raise ValueError("decode histogram mismatch")
+        except Exception as ex:
+            status = f"CORRUPT: {ex}"
+            ok = False
+        print(f"block [{', '.join(bheader.headers)}] "
+              f"len={bheader.len}: {status}", file=out)
+    return ok

@@ -234,3 +234,21 @@ def test_count_without_gcx(tmp_path, rng, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="gcx"):
         driver.extract_range(gcz, "chrN", 0, 10, tmp_path / "x.seq")
+
+
+def test_check_command(tmp_path, rng, capsys):
+    seq = random_dna(rng, 2000)
+    fa = tmp_path / "c.fa"
+    write_fasta(fa, [("chrC1", seq), ("chrC2", random_dna(rng, 900))])
+    gcz = tmp_path / "c.gcz"
+    driver.index_fasta(fa, gcz)
+    assert cli_main(["-i", str(gcz), "--check", "--deep"]) == 0
+    out = capsys.readouterr().out
+    assert "ok" in out and "CORRUPT" not in out
+    # corrupt the gcx -> detected
+    gcx = tmp_path / "c.gcx"
+    b = bytearray(gcx.read_bytes())
+    b[10] ^= 0xFF   # header length field
+    gcx.write_bytes(bytes(b))
+    assert cli_main(["-i", str(gcz), "--check"]) == 1
+    assert "CORRUPT" in capsys.readouterr().out
