@@ -56,8 +56,33 @@ def timeit(fn, *args, repeat=3):
     return best
 
 
+def _probe_accelerator(timeout_s: int = 180) -> bool:
+    """True if the default JAX backend completes a trivial jit in time.
+
+    The remote-TPU relay in some environments can wedge; a dead backend
+    would otherwise hang the whole benchmark."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(int(jax.jit(lambda a:(a*2).sum())(jnp.arange(8))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    platform = "default"
+    if not _probe_accelerator():
+        print("# accelerator unresponsive; falling back to CPU backend",
+              file=sys.stderr)
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        platform = "cpu-fallback"
     import jax
+    if platform == "cpu-fallback":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gecoz_tpu.ops.fmq import decode_text_jit, search_batch
@@ -147,6 +172,8 @@ def main() -> None:
             "search_Mqps_16mer": round(qps, 3),
             "host_single_core_MBps": round(host_mbps, 2),
             "rtt_ms": round(rtt * 1e3, 1),
+            "device": str(dev),
+            "platform": platform,
         },
     }
     print(json.dumps(result))
