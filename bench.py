@@ -56,20 +56,27 @@ def timeit(fn, *args, repeat=3):
     return best
 
 
-def _probe_accelerator(timeout_s: int = 180) -> bool:
+def _probe_accelerator(timeout_s: int = 180, attempts: int = 3) -> bool:
     """True if the default JAX backend completes a trivial jit in time.
 
-    The remote-TPU relay in some environments can wedge; a dead backend
-    would otherwise hang the whole benchmark."""
+    The remote-TPU relay in some environments can wedge or need cool-down
+    after a previous client; probe a few times before giving up (a dead
+    backend would otherwise hang the whole benchmark)."""
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "print(int(jax.jit(lambda a:(a*2).sum())(jnp.arange(8))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# accelerator probe {attempt + 1}/{attempts} failed",
+              file=sys.stderr)
+        time.sleep(45)
+    return False
 
 
 def main() -> None:
