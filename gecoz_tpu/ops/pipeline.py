@@ -18,30 +18,47 @@ import jax.numpy as jnp
 from gecoz_tpu.ops.fmq import (DeviceFMBlock, build_device_block_jit,
                                decode_text_jit, locate_batch, search_batch,
                                with_lf_table)
-from gecoz_tpu.ops.sa_device import _suffix_array_jit, bwt_device
+from gecoz_tpu.ops.sa_device import (_suffix_array_jit,
+                                     _suffix_array_runs_jit, bwt_device,
+                                     dense_table)
 
 # '\0' terminator + IUPAC-ish genomic alphabet (static plane set)
 DNA_SYMBOLS = (0, 65, 67, 71, 78, 84)  # \0 A C G N T
 
 
-@functools.partial(jax.jit, static_argnames=("sf", "symbols"))
+@functools.partial(jax.jit, static_argnames=("sf", "symbols", "sa_impl"))
 def index_block(s: jax.Array, sf: int = 5,
-                symbols: tuple[int, ...] = DNA_SYMBOLS) -> DeviceFMBlock:
-    """Raw block bytes -> device FM query state (SA -> BWT -> planes)."""
-    sa = _suffix_array_jit(s)
-    bwt = bwt_device(s, sa)
+                symbols: tuple[int, ...] = DNA_SYMBOLS,
+                sa_impl: str = "runs") -> DeviceFMBlock:
+    """Raw block bytes -> device FM query state (SA -> BWT -> planes).
+
+    sa_impl 'runs' (default) is robust to the long equal-symbol runs of
+    real genomes; 'kmer' is the dense-packed doubling variant (a round or
+    two faster on run-free text).
+    """
+    if sa_impl == "runs":
+        # the run-aware sort emits the BWT as a free value operand of its
+        # final sort (saves an n-wide gather)
+        sa, bwt = _suffix_array_runs_jit(s)
+    else:
+        table, bits = dense_table(symbols)
+        sa = _suffix_array_jit(s, jnp.asarray(table), bits=bits)
+        bwt = bwt_device(s, sa)
     return build_device_block_jit(bwt, sa, sf, symbols)
 
 
-@functools.partial(jax.jit, static_argnames=("sf", "symbols"))
+@functools.partial(jax.jit,
+                   static_argnames=("sf", "symbols", "sa_impl"))
 def index_and_query(s: jax.Array, patterns: jax.Array, lengths: jax.Array,
-                    sf: int = 5, symbols: tuple[int, ...] = DNA_SYMBOLS):
+                    sf: int = 5, symbols: tuple[int, ...] = DNA_SYMBOLS,
+                    sa_impl: str = "runs"):
     """One full forward step: build the index, run a search batch, locate
     every hit range's start row, and decode the text back.
 
     Returns (sp, ep, located_start, text) — exercising every kernel.
     """
-    block = with_lf_table(index_block(s, sf=sf, symbols=symbols))
+    block = with_lf_table(index_block(s, sf=sf, symbols=symbols,
+                                      sa_impl=sa_impl))
     sp, ep = search_batch(block, patterns, lengths)
     start_vals = locate_batch(block, sp)
     text = decode_text_jit(block)

@@ -13,6 +13,12 @@ are packed into one int31 word, so the first sort already orders by
 (4-bit dense codes, 7 chars/word) random genomic text finishes in 2-3
 sorts instead of ~log2(n).
 
+Long-run pathology: prefix doubling needs ~log2(longest equal-symbol run)
+extra rounds, and real genomes carry megabase ``N`` runs.
+`_suffix_array_runs_jit` removes that: seed ranks come from exact *run
+keys* and refinement jumps run-by-run (see its docstring), so a run of any
+length is fully ordered by the seed sort.
+
 `lax.while_loop` gives the data-dependent early exit while keeping all
 shapes static for XLA.
 """
@@ -24,6 +30,25 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _sort_rerank(key1, key2, iota):
+    """Sort positions by (key1, key2); return (new dense ranks in position
+    order, sort order, all-distinct flag).
+
+    NB more keys per round (prefix tripling/quadrupling) would cut round
+    counts, but >3-operand lax.sort inside a while_loop blows up Mosaic
+    compile time by an order of magnitude.
+    """
+    n = iota.shape[0]
+    k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
+    new_group = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
+    ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_in_order)
+    done = ranks_in_order[n - 1] == n - 1
+    return rank, order, done
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))
@@ -58,25 +83,12 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
         return jax.lax.dynamic_slice(padded, (k,), (n,))
 
-    def sort_rerank(key1, key2):
-        # NB more keys per round (prefix tripling/quadrupling) would cut
-        # round counts on long runs, but >3-operand lax.sort inside a
-        # while_loop blows up Mosaic compile time by an order of magnitude
-        k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
-        new_group = jnp.concatenate([
-            jnp.ones((1,), jnp.int32),
-            ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
-        ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
-        rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_in_order)
-        done = ranks_in_order[n - 1] == n - 1
-        return rank, order, done
-
     # compact the packed ranks with one sort
-    rank, order, done0 = sort_rerank(rank, jnp.zeros(n, jnp.int32))
+    rank, order, done0 = _sort_rerank(rank, jnp.zeros(n, jnp.int32), iota)
 
     def body(state):
         rank, order, k, _ = state
-        rank, order, done = sort_rerank(rank, shifted(rank, k))
+        rank, order, done = _sort_rerank(rank, shifted(rank, k), iota)
         return rank, order, k * 2, done
 
     def cond(state):
@@ -91,6 +103,109 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
+def _run_fill(values: jax.Array, valid: jax.Array,
+              reverse: bool) -> jax.Array:
+    """Nearest `valid` value at-or-before (forward) / at-or-after (reverse)
+    each position — a log-depth associative scan, no gathers (random
+    gathers cost ~58ms/4Mi on v5e; scans are bandwidth-bound)."""
+    def combine(a, b):
+        av, ax = a
+        bv, bx = b
+        return av | bv, jnp.where(bv, bx, ax)
+    _, out = jax.lax.associative_scan(
+        combine, (valid, values), reverse=reverse)
+    return out
+
+
+@jax.jit
+def _suffix_array_runs_jit(s: jax.Array):
+    """Run-aware suffix array + BWT: run-token reduction + doubling.
+
+    Equal-symbol runs are the prefix-doubling pathology (a run of length R
+    ties for ~log2 R rounds).  This variant pays ~log2(#runs in the
+    longest repeated prefix) sorts instead, independent of run lengths:
+
+    * Every position gets an exact *run key* ``(c, side, ±l)``: first
+      symbol ``c``, remaining run length ``l``, and ``side`` = whether the
+      symbol after the run is smaller ("below", incl. end-of-text) or
+      larger than ``c``.  For suffixes c^a·X vs c^b·Y (X, Y starting with
+      a non-c symbol or empty): below sorts before above; within below the
+      shorter run wins; within above the longer run wins — regardless of
+      the tails.  So the seed sort totally orders suffixes except exact
+      (c, side, l) ties, which share an identical first run and reduce to
+      comparing the suffixes at their run ends.
+    * The text is then compacted to its *run-token string* (one token per
+      run; token order = seed-rank at the run start) and a standard
+      prefix-doubling pass computes the token-string suffix array — all
+      shifts are +k slices on the compacted arrays, so no jump-pointer
+      gathers.  Lexicographic token comparison equals original suffix
+      comparison at run starts (the run-key order is prefix-independent,
+      per the case analysis above).
+    * Final order = one sort by (seed rank, rank of the suffix at the next
+      run start), the latter broadcast run-wide by scatter + forward fill.
+      The BWT rides along as a value operand of that sort, saving the
+      usual s[sa-1] gather.
+
+    Returns (sa, bwt).  No dense packing table needed — run keys already
+    compress better than k-mers wherever runs exist.
+    """
+    n = s.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    codes = s.astype(jnp.int32) + 1
+    nxt = jnp.concatenate([codes[1:], jnp.full((1,), -1, jnp.int32)])
+    is_end = codes != nxt                      # last position of each run
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), is_end[:-1]])
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    m = run_id[n - 1] + 1                      # number of runs (traced)
+    end_pos = jnp.where(is_end, iota, n)
+    nde = jax.lax.cummin(end_pos, reverse=True)   # inclusive next run end
+    ell = nde - iota + 1                       # remaining run length >= 1
+    # symbol after this position's run: defined at run ends, filled back
+    tail = _run_fill(nxt, is_end, reverse=True)
+    below = tail < codes
+    key1 = (codes << 1) | (~below).astype(jnp.int32)
+    key2 = jnp.where(below, ell, -ell)
+    rank0, _, done0 = _sort_rerank(key1, key2, iota)
+
+    # compact to the token string: slot j = rank0 at run j's start; padding
+    # slots m..n-1 get large distinct keys so they sort last and stay inert
+    drop = jnp.where(is_start, run_id, n)
+    tok = (n + iota).at[drop].set(rank0, mode="drop")
+    # start position of each run, in compact slots (for the final scatter)
+    start_of = jnp.full((n,), n, jnp.int32).at[drop].set(iota, mode="drop")
+
+    def shifted(r, k):
+        padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
+        out = jax.lax.dynamic_slice(padded, (k,), (n,))
+        # the token string ends at slot m, not n: past-the-end reads -1
+        return jnp.where(iota + k >= m, -1, out)
+
+    def body(state):
+        rank, k, _ = state
+        rank, _, done = _sort_rerank(rank, shifted(rank, k), iota)
+        return rank, k * 2, done
+
+    def cond(state):
+        _, k, done = state
+        return jnp.logical_and(~done, k < 2 * n)
+
+    rank, _, done1 = _sort_rerank(tok, shifted(tok, 1), iota)
+    rank, _, _ = jax.lax.while_loop(
+        cond, body, (rank, jnp.int32(2), done1 | done0))
+
+    # rank of the *next* run's start suffix, broadcast over each run:
+    # scatter slot j's successor rank to run j's start, forward-fill
+    nxt_rank = shifted(rank, 1)
+    at_start = jnp.full((n,), -1, jnp.int32).at[start_of].set(
+        nxt_rank, mode="drop")
+    nr = _run_fill(at_start, is_start, reverse=False)
+
+    s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
+    _, _, order, bwt = jax.lax.sort(
+        (rank0, nr, iota, s_prev), num_keys=2)
+    return order.astype(jnp.int32), bwt
+
+
 def dense_table(symbols) -> tuple[np.ndarray, int]:
     """(byte -> dense code) table + static bits for a symbol set."""
     symbols = sorted(int(x) for x in symbols)
@@ -101,11 +216,34 @@ def dense_table(symbols) -> tuple[np.ndarray, int]:
     return table, bits
 
 
-def suffix_array_device(s) -> jax.Array:
-    """Suffix array of a uint8 array, computed on the default JAX device."""
+def max_run_length(s: np.ndarray) -> int:
+    """Longest equal-symbol run (host, vectorized)."""
+    s = np.asarray(s)
+    if s.shape[0] == 0:
+        return 0
+    bounds = np.flatnonzero(s[1:] != s[:-1])
+    edges = np.concatenate([[-1], bounds, [s.shape[0] - 1]])
+    return int(np.max(np.diff(edges)))
+
+
+# k-mer seeding beats run seeding on run-free text (it starts ~7 symbols
+# deep); past this run length the extra doubling rounds always lose
+RUN_THRESHOLD = 64
+
+
+def suffix_array_device(s, impl: str = "auto") -> jax.Array:
+    """Suffix array of a uint8 array, computed on the default JAX device.
+
+    impl: 'kmer' (dense-packed prefix doubling), 'runs' (run-key seeding +
+    jump doubling), or 'auto' (pick by the longest equal-symbol run).
+    """
     s = np.asarray(s, dtype=np.uint8)
     if s.shape[0] == 0:
         return jnp.zeros((0,), jnp.int32)
+    if impl == "auto":
+        impl = "runs" if max_run_length(s) > RUN_THRESHOLD else "kmer"
+    if impl == "runs":
+        return _suffix_array_runs_jit(jnp.asarray(s))[0]
     table, bits = dense_table(np.unique(s))
     return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 

@@ -1,0 +1,103 @@
+"""Run-aware device suffix sort vs the oracle (long-run pathology).
+
+The reference's SA-IS (SAIS.java) is run-agnostic; our device prefix
+doubling pays ~log2(run length) rounds on equal-symbol runs, which the
+run-key variant removes.  Both must compute the identical true suffix
+array.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from gecoz_tpu.ops.sa import suffix_array_naive, suffix_array_numpy
+from gecoz_tpu.ops.sa_device import (_suffix_array_runs_jit, max_run_length,
+                                     suffix_array_device)
+
+
+def runs_sa(s: np.ndarray) -> np.ndarray:
+    sa, bwt = _suffix_array_runs_jit(jnp.asarray(s, jnp.uint8))
+    # the fused BWT must match the gather formulation
+    from gecoz_tpu.ops.sa import bwt_from_sa
+    assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, np.asarray(sa)))
+    return np.asarray(sa)
+
+
+@pytest.mark.parametrize("case", [
+    b"banana\0", b"mississippi\0", b"AC\0G\0", b"B\0A\0",
+    b"\0\0\0", b"aaaaaaaa\0", b"A", b"ab",
+    b"aaaabaaa\0", b"baaaabaaaab\0",
+    # run followed by below-tail vs above-tail
+    b"NNNNA" b"NNNNT" b"NNNN\0",
+    # runs ending at end-of-text (empty tail)
+    b"ACGTNNNNNNNN",
+    # nested/adjacent runs of different symbols
+    b"AAAACCCCGGGGTTTTAAAA\0",
+])
+def test_runs_fixed_cases(case):
+    s = np.frombuffer(case, dtype=np.uint8)
+    assert np.array_equal(runs_sa(s), suffix_array_naive(s))
+
+
+def test_runs_random_small_alphabet(rng):
+    for _ in range(15):
+        n = int(rng.integers(2, 300))
+        s = rng.choice(np.frombuffer(b"AB\0", np.uint8), size=n)
+        assert np.array_equal(runs_sa(s), suffix_array_naive(s))
+
+
+def test_runs_random_with_runs(rng):
+    """Texts stitched from random DNA and long runs (the genomic shape)."""
+    for trial in range(10):
+        parts = []
+        for _ in range(int(rng.integers(2, 6))):
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                parts.append(rng.choice(
+                    np.frombuffer(b"ACGT", np.uint8),
+                    size=int(rng.integers(5, 80))))
+            else:
+                sym = rng.choice(np.frombuffer(b"ACGTN\0", np.uint8))
+                parts.append(np.full(int(rng.integers(20, 200)), sym,
+                                     np.uint8))
+        parts.append(np.zeros(1, np.uint8))
+        s = np.concatenate(parts)
+        assert np.array_equal(runs_sa(s), suffix_array_numpy(s)), trial
+
+
+def test_runs_equal_length_runs_different_tails(rng):
+    # same (symbol, side, length) run keys, resolved only by tails
+    s = np.frombuffer(b"CNNNNAC" b"CNNNNAG" b"CNNNNAA\0", np.uint8)
+    assert np.array_equal(runs_sa(s), suffix_array_naive(s))
+
+
+def test_max_run_length():
+    assert max_run_length(np.frombuffer(b"AACCCA", np.uint8)) == 3
+    assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
+    assert max_run_length(np.zeros(0, np.uint8)) == 0
+    assert max_run_length(np.full(17, 65, np.uint8)) == 17
+
+
+def test_device_dispatch_auto_picks_runs(rng):
+    s = np.concatenate([
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200),
+        np.full(500, ord("N"), np.uint8),
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200),
+        np.zeros(1, np.uint8)])
+    for impl in ("auto", "runs", "kmer"):
+        got = np.asarray(suffix_array_device(s, impl=impl))
+        assert np.array_equal(got, suffix_array_numpy(s)), impl
+
+
+def test_pipeline_sa_impl_round_trip(rng):
+    from gecoz_tpu.ops.fmq import decode_text_jit, with_lf_table
+    from gecoz_tpu.ops.pipeline import index_block
+    s = np.concatenate([
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=300),
+        np.full(300, ord("N"), np.uint8),
+        np.zeros(1, np.uint8)])
+    for impl in ("runs", "kmer"):
+        blk = with_lf_table(index_block(jnp.asarray(s), sa_impl=impl))
+        assert np.array_equal(np.asarray(decode_text_jit(blk)), s), impl
