@@ -261,10 +261,19 @@ def _find_matches_hash(window: np.ndarray):
 
 
 class Deflater:
-    """Dynamic-Huffman deflate encoder over whole buffers."""
+    """Dynamic-Huffman deflate encoder over whole buffers.
 
-    def __init__(self, matcher: str = "hash"):
+    `lazy` enables one-position lazy matching (zlib-style: defer a match
+    when the next position holds a strictly longer one) — with the SA
+    matcher the per-position lengths are the exact longest previous
+    factor, so the deferral test is exact and measured a net win; the
+    single-candidate hash matcher's next-position lengths are too noisy
+    for it (measured a net loss), hence the per-matcher default.
+    """
+
+    def __init__(self, matcher: str = "hash", lazy: bool | None = None):
         self.matcher = matcher
+        self.lazy = matcher == "sa" if lazy is None else lazy
 
     def deflate(self, data: bytes, out: BitWriter | None = None,
                 bfinal: bool = True) -> BitWriter:
@@ -293,12 +302,16 @@ class Deflater:
             else _find_matches_hash
         mlen, mdist = finder(window)
 
-        # tokenize greedily
+        # tokenize (greedy, or lazy when the next position matches longer)
         toks = []                            # (is_match, a, b)
         i = 0
         while i < n:
             l = int(mlen[i])
             if l >= _MIN_MATCH:
+                if self.lazy and i + 1 < n and int(mlen[i + 1]) > l:
+                    toks.append((False, int(window[i]), 0))
+                    i += 1
+                    continue
                 toks.append((True, l, int(mdist[i])))
                 i += l
             else:

@@ -48,9 +48,16 @@ class FMIndex:
 
     @property
     def c(self) -> np.ndarray:
-        """c[ch] = number of BWT symbols < ch (GSSA.index():215-226)."""
+        """c[ch] = number of BWT symbols < ch (GSSA.index():215-226).
+
+        Derived from the wavelet-node sizes when the BWT has not been
+        decoded — counting/searching a freshly opened block must not pay
+        an O(n) text reconstruction."""
         if self._c is None:
-            counts = np.bincount(self.bwt, minlength=256).astype(np.int64)
+            if self._bwt is None:
+                counts = self.hswt.symbol_counts()
+            else:
+                counts = np.bincount(self.bwt, minlength=256).astype(np.int64)
             self._c = np.concatenate([[0], np.cumsum(counts)[:-1]])
         return self._c
 
@@ -134,6 +141,22 @@ class FMIndex:
             ep = int(c[ch]) + int(self.occ(ch, np.int64(ep)))
         return sp, ep
 
+    def lf_batch(self, rows: np.ndarray) -> np.ndarray:
+        """Corrected LF for arbitrary rows.
+
+        Uses the materialized LF table when it exists; otherwise steps
+        through the wavelet tree (GSSA walks tree.getRS the same way,
+        GSSA.extract:119-124) so small queries never pay an O(n) BWT
+        decode + table build."""
+        rows = np.asarray(rows, dtype=np.int64)
+        if self._lf is not None:
+            return self._lf[rows]
+        rank, sym = self.hswt.getrs_batch(rows)
+        plain = self.c[sym] + rank
+        corr = 1 + rank - (self.wrap_row < rows)
+        out = np.where(sym == 0, corr, plain)
+        return np.where(rows == self.wrap_row, 0, out)
+
     def locate(self, rows: np.ndarray) -> np.ndarray:
         """SA values for `rows`, batched LF walks to the nearest sample
         (GSSA.locate:241-251, corrected LF)."""
@@ -143,7 +166,6 @@ class FMIndex:
         steps = np.zeros(len(rows), dtype=np.int64)
         out = np.full(len(rows), -1, dtype=np.int64)
         live = np.ones(len(rows), dtype=bool)
-        lf = self.lf
         while live.any():
             sa_val = np.asarray(self.index.get(idx))
             hit = live & (sa_val >= 0)
@@ -151,7 +173,7 @@ class FMIndex:
             live &= ~hit
             if not live.any():
                 break
-            idx[live] = lf[idx[live]]
+            idx[live] = self.lf_batch(idx[live])
             steps[live] += 1
         return out
 
@@ -214,26 +236,48 @@ class FMIndex:
             pass
         return self.decode_range(0, self.length)
 
+    def _step_emit(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(corrected-LF next rows, emitted BWT symbols) — one decode step.
+
+        Table-driven when the LF table is already materialized, otherwise
+        wavelet-tree descent (so small extractions from a big block stay
+        O(span · code length), never O(n))."""
+        if self._lf is not None:
+            return self._lf[rows], self.bwt[rows]
+        rank, sym = self.hswt.getrs_batch(rows)
+        plain = self.c[sym] + rank
+        corr = 1 + rank - (self.wrap_row < rows)
+        nxt = np.where(sym == 0, corr, plain)
+        nxt = np.where(rows == self.wrap_row, 0, nxt)
+        return nxt, sym.astype(np.uint8)
+
     def decode_range(self, lo: int, hi: int) -> np.ndarray:
         """Decode global positions [lo, hi) only.
 
         TPU-shaped decode: one independent LF walk per sampling interval,
         all advanced in lockstep (the device version in ops/fmq.py runs the
-        identical schedule with on-device gathers).  Work is proportional
-        to the sampling-aligned span, not the block size.
+        identical schedule with on-device gathers).  Work and memory are
+        proportional to the sampling-aligned span, not the block size.
         """
         n = self.length
         rate = 1 << self.index.sampling_factor
         if n == 0 or hi <= lo:
             return np.zeros(max(hi - lo, 0), dtype=np.uint8)
-        out = np.zeros(n, dtype=np.uint8)  # sparse scratch; sliced at end
-        out[n - 1] = 0  # final terminator, not covered by a walk
         first = lo // rate
         last = min((hi - 1) // rate, (n - 2) // rate if n > 1 else 0)
         walks = np.arange(first, last + 1, dtype=np.int64)
         ends = np.minimum((walks + 1) * rate, n - 1)
         starts = walks * rate
         nwalks = len(walks)
+        base = first * rate
+        span = int(max(hi, int(ends[-1]) if nwalks else hi)) - base
+        # materialize the full LF table only when the span warrants the
+        # O(n) build; otherwise steps go through the wavelet tree
+        if self._lf is None and span * 4 >= n:
+            _ = self.lf
+        out = np.zeros(span, dtype=np.uint8)   # span-local scratch
+        if hi >= n:
+            out[n - 1 - base] = 0   # final terminator, not walk-covered
         # walk w emits positions ends[w]-1 down to starts[w]
         rows, values = self.index.sampled_rows()
         seed = np.zeros(nwalks, dtype=np.int64)
@@ -245,28 +289,26 @@ class FMIndex:
         full = (ends % rate == 0) & (ends < n)
         pos_in = np.searchsorted(sval, ends[full])
         seed[full] = srow[pos_in]
-        lf = self.lf
         cur = np.full(nwalks, -1, dtype=np.int64)
         cur[full] = seed[full]
         # partial last walk: start from row 0 (suffix n-1), step to SA=ends[w]
         part = np.flatnonzero(~full)
         for w in part:
-            idx = 0  # row of suffix n-1, i.e. SA value n-1
+            idx = np.zeros(1, dtype=np.int64)  # row of suffix n-1
             v = n - 1
             while v > ends[w]:
-                idx = lf[idx]
+                idx, _ = self._step_emit(idx)
                 v -= 1
-            cur[w] = idx
+            cur[w] = idx[0]
         pos = ends - 1
         live = pos >= starts
-        bwt = self.bwt
         while live.any():
-            syms = bwt[cur[live]]
-            out[pos[live]] = syms
-            cur[live] = lf[cur[live]]
+            nxt, syms = self._step_emit(cur[live])
+            out[pos[live] - base] = syms
+            cur[live] = nxt
             pos[live] -= 1
             live = pos >= starts
-        return out[lo:hi]
+        return out[lo - base:hi - base]
 
     def extract(self, nstr: int, start: int = 0, end: int | None = None) -> bytes:
         """Bytes [start, end) of sequence `nstr` (GSSA.extract:90-126);

@@ -82,7 +82,9 @@ class HSWT:
             key = (level, prefix)
             if key not in node_set:
                 return
-            node = RankBitVector.deserialize(
+            # lazy: the node keeps the mmap'd interleaved slice; total_ones
+            # (needed for child sizing) reads the stream's own counters
+            node = RankBitVector.from_interleaved(
                 buf[offset:offset + rbv_bytes(nlen)], nlen)
             offset += rbv_bytes(nlen)
             nodes[key] = node
@@ -172,6 +174,52 @@ class HSWT:
 
         walk(0, 0, np.arange(n, dtype=np.int32 if use_native else np.int64))
         return bwt
+
+    def symbol_counts(self) -> np.ndarray:
+        """Per-symbol counts derived from node sizes alone — no BWT decode
+        (symbol s's count = the zero/one population of its leaf slot in
+        its last internal node).  Keeps count-only queries lazy."""
+        counts = np.zeros(256, dtype=np.int64)
+        for s in np.flatnonzero(self.shape.bit_lengths > 0):
+            L = int(self.shape.bit_lengths[s])
+            code = int(self.shape.codes[s])
+            node = self.nodes[(L - 1, code & ((1 << (L - 1)) - 1))]
+            ones = int(node.total_ones())
+            counts[s] = ones if (code >> (L - 1)) & 1 else node.length - ones
+        return counts
+
+    def getrs_batch(self, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batched (rank, symbol) at BWT positions `pos` — the locate/
+        extract step — via one level-ordered descent shared by the whole
+        batch (each position visits code-length nodes, not n work)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        ranks = np.zeros(len(pos), dtype=np.int64)
+        syms = np.zeros(len(pos), dtype=np.int64)
+        leaf = {}
+        for s in np.flatnonzero(self.shape.bit_lengths > 0):
+            leaf[(int(self.shape.bit_lengths[s]),
+                  int(self.shape.codes[s]))] = int(s)
+
+        def walk(level, prefix, idx, p):
+            sym = leaf.get((level, prefix))
+            if sym is not None:
+                ranks[idx] = p
+                syms[idx] = sym
+                return
+            key = (level, prefix)
+            if key not in self.nodes or len(idx) == 0:
+                return
+            node = self.nodes[key]
+            bit = (node.data[p >> 3] >> (p & 7)) & 1
+            r1 = node.rank1_inclusive(p)
+            zero = bit == 0
+            walk(level + 1, prefix, idx[zero], (p - r1)[zero])
+            walk(level + 1, prefix | (1 << level), idx[~zero],
+                 (r1 - 1)[~zero])
+
+        if self.shape.nodes:
+            walk(0, 0, np.arange(len(pos), dtype=np.int64), pos.copy())
+        return ranks, syms
 
     def getRS(self, pos: int) -> tuple[int, int]:
         """(rank, symbol) at BWT position `pos` (HSWT.getRS:300-314)."""

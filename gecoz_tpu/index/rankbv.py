@@ -148,23 +148,80 @@ def deserialize_rbv(buf: np.ndarray, length: int) -> np.ndarray:
     return out[:nbytes].copy()
 
 
+def interleaved_total_ones(buf: np.ndarray, length: int) -> int:
+    """Total ones of an interleaved stream from its own rank counters —
+    O(last 64-byte group), no deinterleave (the layout exists precisely so
+    readers can do this; RankedWTNode keeps the same invariant)."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    nbytes = (length + 7) >> 3
+    g = (length - 1) >> 9                      # last data group
+    off = 66 * g + 6 * (g >> 7)                # its offset in the stream
+    last = buf[off:off + nbytes - (g << 6)]
+    if length & 7:                             # mask bits past `length`
+        last = last.copy()
+        last[-1] &= (1 << (length & 7)) - 1
+    tail = int(np.bitwise_count(last).sum(dtype=np.int64))
+    if g == 0:
+        return tail
+    if g % _SEG_GROUPS == 0:
+        base = int(np.frombuffer(buf[off - 8:off].tobytes(), np.uint64)[0])
+        return base + tail
+    s = g >> 7
+    seg_base = 0
+    if s > 0:
+        boff = 66 * (s * _SEG_GROUPS) + 6 * s
+        seg_base = int(np.frombuffer(buf[boff - 8:boff].tobytes(),
+                                     np.uint64)[0])
+    short = int(np.frombuffer(buf[off - 2:off].tobytes(), np.uint16)[0])
+    return seg_base + short + tail
+
+
 class RankBitVector:
     """In-memory rank/select structure over a packed bit vector.
 
-    Query layout is TPU-style (flat words + superblock prefix ranks), not the
-    interleaved disk layout.
+    Query layout is TPU-style (flat words + superblock prefix ranks), not
+    the interleaved disk layout.  Construction is LAZY: a vector created
+    with `from_interleaved` keeps only the (memory-mapped) raw stream
+    until first queried, and `total_ones` reads the stream's own rank
+    counters — so opening a multi-GB block costs O(#nodes), and a count
+    query touches only the nodes on the pattern's code paths.
     """
 
-    def __init__(self, data: np.ndarray, length: int):
+    def __init__(self, data: np.ndarray | None, length: int,
+                 raw: np.ndarray | None = None):
         self.length = int(length)
-        self.data = np.asarray(data, dtype=np.uint8)
+        self._data = None if data is None else np.asarray(data,
+                                                          dtype=np.uint8)
+        self._raw = raw
+        self._built = False
+        self._total: int | None = None
+
+    @classmethod
+    def from_bits(cls, bits: np.ndarray) -> "RankBitVector":
+        return cls(pack_bits(bits), len(bits))
+
+    @classmethod
+    def from_interleaved(cls, buf: np.ndarray, length: int) -> "RankBitVector":
+        """Wrap a serialized stream without deinterleaving it yet."""
+        buf = np.asarray(buf, dtype=np.uint8)
+        return cls(None, length, raw=buf[:rbv_bytes(length)])
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._data is None:
+            self._data = deserialize_rbv(self._raw, self.length)
+        return self._data
+
+    def _ensure(self) -> None:
+        if self._built:
+            return
+        data = self.data
         ngroups = ((self.length - 1) >> 9) + 1 if self.length else 0
-        pc = _group_popcounts(self.data, ngroups)
+        pc = _group_popcounts(data, ngroups)
         self.super_ranks = np.zeros(ngroups + 1, dtype=np.int64)
         np.cumsum(pc, out=self.super_ranks[1:])
-        # per-word (uint64) popcount prefix inside each group, built lazily
         words = np.zeros(ngroups * 8, dtype=np.uint64)
-        raw = self.data
+        raw = data
         if len(raw) < ngroups * 64:
             raw = np.concatenate(
                 [raw, np.zeros(ngroups * 64 - len(raw), np.uint8)])
@@ -173,10 +230,7 @@ class RankBitVector:
         wpc = np.bitwise_count(words).astype(np.int64).reshape(ngroups, 8)
         self.word_prefix = np.zeros((ngroups, 8), dtype=np.int64)
         np.cumsum(wpc[:, :-1], axis=1, out=self.word_prefix[:, 1:])
-
-    @classmethod
-    def from_bits(cls, bits: np.ndarray) -> "RankBitVector":
-        return cls(pack_bits(bits), len(bits))
+        self._built = True
 
     def get(self, idx):
         idx = np.asarray(idx)
@@ -184,6 +238,7 @@ class RankBitVector:
 
     def rank1_inclusive(self, idx):
         """Number of ones in [0, idx] (vectorized; RankedWTNode.count)."""
+        self._ensure()
         idx = np.asarray(idx, dtype=np.int64)
         g = idx >> 9
         w = (idx >> 6) & 7
@@ -198,7 +253,13 @@ class RankBitVector:
         return np.where(idx <= 0, 0, self.rank1_inclusive(np.maximum(idx - 1, 0)))
 
     def total_ones(self) -> int:
-        return int(self.rank1_inclusive(np.int64(self.length - 1)))
+        if self._total is None:
+            if self._data is None and self._raw is not None and self.length:
+                self._total = interleaved_total_ones(self._raw, self.length)
+            else:
+                self._total = int(self.rank1_inclusive(
+                    np.int64(self.length - 1))) if self.length else 0
+        return self._total
 
     def select1(self, n):
         """Position of the n'th one bit (1-based), -1 if out of range
@@ -211,6 +272,8 @@ class RankBitVector:
         return res
 
     def serialize(self) -> bytes:
+        if self._raw is not None and self._data is None:
+            return self._raw.tobytes()       # already the serialized form
         return serialize_rbv(self.data, self.length)
 
     @classmethod

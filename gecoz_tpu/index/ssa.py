@@ -25,11 +25,25 @@ def index_size(sa_len: int, sampling_factor: int) -> int:
 
 
 class SampledSAIndex:
-    def __init__(self, mark: RankBitVector, wsa: IndexWaveletTree,
-                 sampling_factor: int):
+    def __init__(self, mark: RankBitVector, wsa: IndexWaveletTree | None,
+                 sampling_factor: int, wsa_buf: np.ndarray | None = None,
+                 ssa_len: int | None = None):
         self.mark = mark
-        self.wsa = wsa
+        self._wsa = wsa
+        self._wsa_buf = wsa_buf          # serialized IWT, decoded lazily
+        self._ssa_len = ssa_len
         self.sampling_factor = int(sampling_factor)
+
+    @property
+    def wsa(self) -> IndexWaveletTree:
+        """The sampled-value permutation; deserializing the IWT costs
+        ~levels stable sorts, so it stays on disk until locate/extract
+        actually needs it (count-only queries never do)."""
+        if self._wsa is None:
+            self._wsa = IndexWaveletTree.deserialize(self._wsa_buf,
+                                                     self._ssa_len)
+            self._wsa_buf = None
+        return self._wsa
 
     @classmethod
     def build(cls, sa: np.ndarray, sampling_rate: int) -> "SampledSAIndex":
@@ -51,11 +65,10 @@ class SampledSAIndex:
                     sampling_factor: int) -> "SampledSAIndex":
         buf = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
         nb = rbv_bytes(sa_len)
-        mark = RankBitVector.deserialize(buf[:nb], sa_len)
+        mark = RankBitVector.from_interleaved(buf[:nb], sa_len)
         ssa_len = (sa_len + (1 << sampling_factor) - 1) >> sampling_factor
-        wsa = IndexWaveletTree.deserialize(buf[nb:nb + iwt_size(ssa_len)],
-                                           ssa_len)
-        return cls(mark, wsa, sampling_factor)
+        return cls(mark, None, sampling_factor,
+                   wsa_buf=buf[nb:nb + iwt_size(ssa_len)], ssa_len=ssa_len)
 
     # -- queries (GSSAIndex.get / find) ------------------------------------
 

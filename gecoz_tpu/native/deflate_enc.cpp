@@ -183,41 +183,57 @@ int64_t gecoz_deflate(const uint8_t* src, int64_t n,
     uint64_t lit_freq[288] = {0};
     uint64_t dist_freq[30] = {0};
 
-    while (pos < block_end) {
-      uint32_t best_len = 0, best_dist = 0;
-      if (pos + 3 <= n) {
-        uint32_t h = hash3(pos);
-        int64_t h0 = head[h];
-        int64_t cand = h0;
-        int chain = 64;
-        uint32_t max_match = (uint32_t)std::min<int64_t>(258, n - pos);
-        while (cand >= 0 && pos - cand <= (int64_t)WMASK && chain--) {
-          if (src[cand + best_len] == src[pos + best_len]) {
-            uint32_t l = 0;
-            while (l < max_match && src[cand + l] == src[pos + l]) ++l;
-            if (l > best_len) {
-              best_len = l;
-              best_dist = (uint32_t)(pos - cand);
-              if (l >= max_match) break;
-            }
+    auto insert = [&](int64_t i) {
+      if (i + 3 > n) return;
+      uint32_t h = hash3(i);
+      prev[i] = head[h];
+      head[h] = i;
+    };
+    // search the chain WITHOUT inserting (callers insert explicitly so
+    // the lazy peek at pos+1 can run before pos+1 is registered)
+    auto find = [&](int64_t p, uint32_t& blen, uint32_t& bdist) {
+      blen = 0;
+      bdist = 0;
+      if (p + 3 > n) return;
+      int64_t cand = head[hash3(p)];
+      int chain = 64;
+      uint32_t max_match = (uint32_t)std::min<int64_t>(258, n - p);
+      while (cand >= 0 && p - cand <= (int64_t)WMASK && chain--) {
+        if (src[cand + blen] == src[p + blen]) {
+          uint32_t l = 0;
+          while (l < max_match && src[cand + l] == src[p + l]) ++l;
+          if (l > blen) {
+            blen = l;
+            bdist = (uint32_t)(p - cand);
+            if (l >= max_match) break;
           }
-          cand = prev[cand];
         }
-        prev[pos] = h0;      // chain records the displaced head
-        head[h] = pos;
+        cand = prev[cand];
       }
+    };
+
+    while (pos < block_end) {
+      uint32_t best_len, best_dist;
+      find(pos, best_len, best_dist);
+      insert(pos);
       if (best_len >= 3) {
+        // lazy match: defer when the next position matches strictly longer
+        if (pos + 1 < n) {
+          uint32_t l2, d2;
+          find(pos + 1, l2, d2);
+          if (l2 > best_len) {
+            lit_freq[src[pos]]++;
+            toks.push_back({src[pos], 0});
+            ++pos;
+            continue;
+          }
+        }
         toks.push_back({best_len, best_dist});
         int lc = len_code(best_len), dc = dist_code(best_dist);
         lit_freq[257 + lc]++;
         dist_freq[dc]++;
-        // insert hash entries for covered positions (sparse: every pos)
-        int64_t stop = std::min(pos + best_len, n - 3);
-        for (int64_t q = pos + 1; q < stop; ++q) {
-          uint32_t h = hash3(q);
-          prev[q] = head[h];
-          head[h] = q;
-        }
+        // insert hash entries for covered positions
+        for (int64_t q = pos + 1; q < pos + best_len; ++q) insert(q);
         pos += best_len;
       } else {
         lit_freq[src[pos]]++;

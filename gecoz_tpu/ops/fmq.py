@@ -52,6 +52,9 @@ class DeviceFMBlock(NamedTuple):
     lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
                             # block fits 24-bit rows, else uint32 [n,2]
                             # (lf, sym) pairs; empty when not built
+    lf4_tab: jax.Array      # 4-step decode table: uint32 [n,2] rows of
+                            # (LF^4, sym|sym@LF<<8|sym@LF^2<<16|sym@LF^3<<24);
+                            # empty when not built
     sf: int                 # sampling factor (static)
 
     @property
@@ -65,6 +68,10 @@ class DeviceFMBlock(NamedTuple):
     @property
     def has_lf(self) -> bool:
         return self.lf_tab.shape[0] > 0
+
+    @property
+    def has_lf4(self) -> bool:
+        return self.lf4_tab.shape[0] > 0
 
 
 jax.tree_util.register_pytree_node(
@@ -103,7 +110,24 @@ def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
         # rows don't fit 24 bits: (lf, sym) side by side, one 2-wide gather
         tab = jnp.stack([lf.astype(jnp.uint32),
                          block.bwt.astype(jnp.uint32)], axis=1)
-    return block._replace(lf_tab=tab)
+
+    # 4-step decode table: LF^4 plus the 4 symbols emitted along the way,
+    # so a decode walk needs one 8-byte gather per FOUR text positions.
+    # Permutation composition B[A[i]] is done sort-side (sort (A, iota),
+    # scatter B at the sorted iota) — random gathers cost ~58ms/4Mi on
+    # v5e, a 1-key sort+scatter ~30ms, and the symbol chains ride the
+    # same sorts for free.
+    sym32 = block.bwt.astype(jnp.uint32)
+    _, i1 = jax.lax.sort((lf, iota), num_keys=1)
+    lf2 = jnp.zeros(n, jnp.int32).at[i1].set(lf)
+    t1 = jnp.zeros(n, jnp.uint32).at[i1].set(sym32)
+    s2 = sym32 | (t1 << 8)
+    _, i2 = jax.lax.sort((lf2, iota), num_keys=1)
+    lf4 = jnp.zeros(n, jnp.int32).at[i2].set(lf2)
+    t2 = jnp.zeros(n, jnp.uint32).at[i2].set(s2)
+    s4 = s2 | (t2 << 16)
+    lf4_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
+    return block._replace(lf_tab=tab, lf4_tab=lf4_tab)
 
 
 def _lf_step(block: DeviceFMBlock, idx):
@@ -173,6 +197,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         ssa_perm=jnp.asarray(perm),
         ssa_inv=jnp.asarray(inv),
         lf_tab=jnp.zeros((0,), jnp.int32),
+        lf4_tab=jnp.zeros((0, 2), jnp.uint32),
         sf=int(sf),
     )
 
@@ -245,7 +270,8 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
         mark_words=mark_words, mark_pre=mark_pre,
         ssa_perm=perm, ssa_inv=inv,
-        lf_tab=jnp.zeros((0,), jnp.int32), sf=sf)
+        lf_tab=jnp.zeros((0,), jnp.int32),
+        lf4_tab=jnp.zeros((0, 2), jnp.uint32), sf=sf)
 
 
 # -- primitive rank ---------------------------------------------------------
@@ -381,36 +407,49 @@ def decode_text_jit(block: DeviceFMBlock):
     widx = jnp.arange(W, dtype=jnp.int32)
     seeds = _row_with_sa(block, (widx + 1) * rate)
 
-    out = jnp.zeros((W, rate), dtype=jnp.uint8)
-    tail_out = jnp.zeros((rate,), dtype=jnp.uint8)
-    # tail walk: start at row 0 (suffix n-1); after `burn` steps it sits at
-    # the row whose next emit is position n-2 ... down to tail_lo
-    tail_idx0 = jnp.zeros((1,), jnp.int32)
-
-    use_fused = block.has_lf
-
     def step(idx):
-        if use_fused:
+        if block.has_lf:
             return _lf_step(block, idx)
         return lf_batch(block, idx), block.bwt[idx]
 
-    def body(j, state):
-        idx, tidx, out, tail_out = state
-        if W:
-            nxt, sym = step(idx)
-            out = out.at[:, rate - 1 - j].set(sym)
-            idx = nxt
-        # tail: emits positions n-2 .. tail_lo at steps 0 .. tail_len-1
-        tnxt, tsym = step(tidx)
-        tail_out = jax.lax.cond(
-            j < tail_len,
-            lambda t: t.at[tail_len - 1 - j].set(tsym[0]),
-            lambda t: t, tail_out)
-        tidx = jnp.where(j < tail_len, tnxt, tidx)
-        return idx, tidx, out, tail_out
+    if W and block.has_lf4 and rate % 4 == 0:
+        # 4 positions per 8-byte gather: round j4 emits columns
+        # rate-1-4*j4 .. rate-4-4*j4 from the packed symbol word
+        cols = []
+        idx = seeds
+        for _ in range(rate // 4):
+            pair = block.lf4_tab[idx]
+            s4 = pair[..., 1]
+            cols.append(jnp.stack(
+                [(s4 >> 24).astype(jnp.uint8),
+                 ((s4 >> 16) & 255).astype(jnp.uint8),
+                 ((s4 >> 8) & 255).astype(jnp.uint8),
+                 (s4 & 255).astype(jnp.uint8)], axis=1))
+            idx = pair[..., 0].astype(jnp.int32)
+        out = jnp.concatenate(cols[::-1], axis=1)
+    elif W:
+        out = jnp.zeros((W, rate), dtype=jnp.uint8)
 
-    _, _, out, tail_out = jax.lax.fori_loop(
-        0, rate, body, (seeds, tail_idx0, out, tail_out))
+        def body(j, state):
+            idx, out = state
+            nxt, sym = step(idx)
+            return nxt, out.at[:, rate - 1 - j].set(sym)
+
+        _, out = jax.lax.fori_loop(0, rate, body, (seeds, out))
+    else:
+        out = jnp.zeros((0, rate), dtype=jnp.uint8)
+
+    # tail walk: start at row 0 (suffix n-1); step j emits position n-2-j,
+    # covering [tail_lo, n-2] — tail_len is static, so no masking needed
+    tail_out = jnp.zeros((rate,), dtype=jnp.uint8)
+    if tail_len:
+        def tbody(j, state):
+            tidx, tail_out = state
+            tnxt, tsym = step(tidx)
+            return tnxt, tail_out.at[tail_len - 1 - j].set(tsym[0])
+
+        _, tail_out = jax.lax.fori_loop(
+            0, tail_len, tbody, (jnp.zeros((1,), jnp.int32), tail_out))
 
     text = jnp.concatenate([
         out.reshape(-1),

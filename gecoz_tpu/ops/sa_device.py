@@ -103,20 +103,6 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
-def _run_fill(values: jax.Array, valid: jax.Array,
-              reverse: bool) -> jax.Array:
-    """Nearest `valid` value at-or-before (forward) / at-or-after (reverse)
-    each position — a log-depth associative scan, no gathers (random
-    gathers cost ~58ms/4Mi on v5e; scans are bandwidth-bound)."""
-    def combine(a, b):
-        av, ax = a
-        bv, bx = b
-        return av | bv, jnp.where(bv, bx, ax)
-    _, out = jax.lax.associative_scan(
-        combine, (valid, values), reverse=reverse)
-    return out
-
-
 @jax.jit
 def _suffix_array_runs_jit(s: jax.Array):
     """Run-aware suffix array + BWT: run-token reduction + doubling.
@@ -142,7 +128,7 @@ def _suffix_array_runs_jit(s: jax.Array):
       comparison at run starts (the run-key order is prefix-independent,
       per the case analysis above).
     * Final order = one sort by (seed rank, rank of the suffix at the next
-      run start), the latter broadcast run-wide by scatter + forward fill.
+      run start), the latter broadcast run-wide by one monotone gather.
       The BWT rides along as a value operand of that sort, saving the
       usual s[sa-1] gather.
 
@@ -150,6 +136,9 @@ def _suffix_array_runs_jit(s: jax.Array):
     compress better than k-mers wherever runs exist.
     """
     n = s.shape[0]
+    if n >= 1 << 30:
+        raise ValueError("run-aware device SA packs (position, side) into "
+                         "int31; split blocks above 1 GiB")
     iota = jnp.arange(n, dtype=jnp.int32)
     codes = s.astype(jnp.int32) + 1
     nxt = jnp.concatenate([codes[1:], jnp.full((1,), -1, jnp.int32)])
@@ -157,12 +146,17 @@ def _suffix_array_runs_jit(s: jax.Array):
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), is_end[:-1]])
     run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     m = run_id[n - 1] + 1                      # number of runs (traced)
-    end_pos = jnp.where(is_end, iota, n)
-    nde = jax.lax.cummin(end_pos, reverse=True)   # inclusive next run end
+    # one reverse cummin carries (run end position << 1 | below-side bit):
+    # `below` = symbol after the run < run symbol (end-of-text counts
+    # below), constant per run so the run end's bit is every member's.
+    # (An associative_scan fill works too but is a Mosaic compile cliff.)
+    below_end = nxt < codes
+    packed = jnp.where(is_end, (iota << 1) | below_end.astype(jnp.int32),
+                       jnp.int32(2) * n)
+    v = jax.lax.cummin(packed, reverse=True)
+    nde = v >> 1                               # inclusive next run end
+    below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1                       # remaining run length >= 1
-    # symbol after this position's run: defined at run ends, filled back
-    tail = _run_fill(nxt, is_end, reverse=True)
-    below = tail < codes
     key1 = (codes << 1) | (~below).astype(jnp.int32)
     key2 = jnp.where(below, ell, -ell)
     rank0, _, done0 = _sort_rerank(key1, key2, iota)
@@ -171,8 +165,6 @@ def _suffix_array_runs_jit(s: jax.Array):
     # slots m..n-1 get large distinct keys so they sort last and stay inert
     drop = jnp.where(is_start, run_id, n)
     tok = (n + iota).at[drop].set(rank0, mode="drop")
-    # start position of each run, in compact slots (for the final scatter)
-    start_of = jnp.full((n,), n, jnp.int32).at[drop].set(iota, mode="drop")
 
     def shifted(r, k):
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
@@ -193,12 +185,9 @@ def _suffix_array_runs_jit(s: jax.Array):
     rank, _, _ = jax.lax.while_loop(
         cond, body, (rank, jnp.int32(2), done1 | done0))
 
-    # rank of the *next* run's start suffix, broadcast over each run:
-    # scatter slot j's successor rank to run j's start, forward-fill
-    nxt_rank = shifted(rank, 1)
-    at_start = jnp.full((n,), -1, jnp.int32).at[start_of].set(
-        nxt_rank, mode="drop")
-    nr = _run_fill(at_start, is_start, reverse=False)
+    # rank of the *next* run's start suffix, broadcast over each run —
+    # one monotone gather by run id (the only gather in the algorithm)
+    nr = shifted(rank, 1)[run_id]
 
     s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
     _, _, order, bwt = jax.lax.sort(
