@@ -118,8 +118,9 @@ def main() -> None:
     print(f"# index: {t_index*1e3:.1f} ms -> {mbps_index:.1f} MB/s",
           file=sys.stderr)
 
-    from gecoz_tpu.ops.fmq import with_lf_table
-    block = jax.jit(with_lf_table)(index_block(d))
+    from gecoz_tpu.ops.fmq import with_kmer_table, with_lf_table
+    block = jax.jit(lambda b: with_kmer_table(with_lf_table(b)))(
+        index_block(d))
     decode_ck = jax.jit(lambda b: _checksum(decode_text_jit(b)))
     t0 = time.perf_counter()
     int(np.asarray(decode_ck(block)))

@@ -55,7 +55,13 @@ class DeviceFMBlock(NamedTuple):
     lf4_tab: jax.Array      # 4-step decode table: uint32 [n,2] rows of
                             # (LF^4, sym|sym@LF<<8|sym@LF^2<<16|sym@LF^3<<24);
                             # empty when not built
+    kmer_tab: jax.Array     # stacked k-mer seed table: int32 [T,2] rows of
+                            # (sp, ep) after backward-searching every
+                            # plane-coded string of length 1..kmer_k;
+                            # level j starts at _kmer_offset(bits, j)
     sf: int                 # sampling factor (static)
+    kmer_bits: int = 0      # bits per plane-coded symbol (static)
+    kmer_k: int = 0         # max seeded suffix length (static)
 
     @property
     def n(self) -> int:
@@ -73,11 +79,15 @@ class DeviceFMBlock(NamedTuple):
     def has_lf4(self) -> bool:
         return self.lf4_tab.shape[0] > 0
 
+    @property
+    def has_kmer(self) -> bool:
+        return self.kmer_tab.shape[0] > 0
+
 
 jax.tree_util.register_pytree_node(
     DeviceFMBlock,
-    lambda b: (tuple(b[:-1]), b.sf),
-    lambda sf, leaves: DeviceFMBlock(*leaves, sf=sf),
+    lambda b: (tuple(b[:-3]), tuple(b[-3:])),
+    lambda aux, leaves: DeviceFMBlock(*leaves, *aux),
 )
 
 
@@ -198,6 +208,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         ssa_inv=jnp.asarray(inv),
         lf_tab=jnp.zeros((0,), jnp.int32),
         lf4_tab=jnp.zeros((0, 2), jnp.uint32),
+        kmer_tab=jnp.zeros((0, 2), jnp.int32),
         sf=int(sf),
     )
 
@@ -271,7 +282,8 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         mark_words=mark_words, mark_pre=mark_pre,
         ssa_perm=perm, ssa_inv=inv,
         lf_tab=jnp.zeros((0,), jnp.int32),
-        lf4_tab=jnp.zeros((0, 2), jnp.uint32), sf=sf)
+        lf4_tab=jnp.zeros((0, 2), jnp.uint32),
+        kmer_tab=jnp.zeros((0, 2), jnp.int32), sf=sf)
 
 
 # -- primitive rank ---------------------------------------------------------
@@ -317,6 +329,58 @@ def lf_batch(block: DeviceFMBlock, idx):
 
 # -- backward search --------------------------------------------------------
 
+def _kmer_offset(bits: int, j: int) -> int:
+    """Start row of the length-j level in the stacked k-mer table."""
+    return sum(1 << (bits * i) for i in range(1, j))
+
+
+def with_kmer_table(block: DeviceFMBlock, k: int | None = None
+                    ) -> DeviceFMBlock:
+    """Attach the stacked k-mer seed table (jittable).
+
+    Level j holds (sp, ep) after backward-searching every plane-coded
+    string of length j, for j = 1..k; a query's last min(len, k)
+    characters are then ONE table lookup instead of min(len, k)-1 search
+    steps (each of which costs two occ gathers per live query).  Built
+    bottom-up: level j+1 extends level j by one earlier character, all
+    codes stepped in one vectorized occ batch — ~2^(bits*k) gathers
+    total, amortized over every future search against the block.
+    """
+    if block.n == 0 or block.has_kmer:
+        return block
+    nplanes = block.plane_pairs.shape[0] // max(block.W, 1)
+    bits = max(1, (nplanes - 1).bit_length())
+    if k is None:
+        # table capped at ~2^19 rows and at ~n rows (tiny blocks get
+        # proportionally tiny tables)
+        k = max(1, min(8, 19 // bits,
+                       int(max(block.n, 2)).bit_length() // bits))
+    # inverse plane map: plane row -> symbol byte
+    rows = block.sym_plane
+    plane_sym = jnp.zeros((1 << bits,), jnp.int32).at[
+        jnp.where(rows >= 0, rows, 1 << bits)].set(
+        jnp.arange(256, dtype=jnp.int32), mode="drop")
+
+    levels = []
+    # level 1: all single symbols
+    syms1 = plane_sym[jnp.arange(1 << bits, dtype=jnp.int32)]
+    sp = block.c[syms1]
+    ep = block.c[syms1 + 1] - 1
+    levels.append(jnp.stack([sp, ep], axis=1))
+    for j in range(1, k):
+        codes = jnp.arange(1 << (bits * (j + 1)), dtype=jnp.int32)
+        prev = levels[j - 1][codes & ((1 << (bits * j)) - 1)]
+        ch = plane_sym[codes >> (bits * j)]     # the added, earlier char
+        sp, ep = prev[:, 0], prev[:, 1]
+        nsp = block.c[ch] + occ_inclusive(block, ch, sp - 1)
+        nep = block.c[ch] + occ_inclusive(block, ch, ep) - 1
+        dead = sp > ep
+        levels.append(jnp.stack([jnp.where(dead, sp, nsp),
+                                 jnp.where(dead, ep, nep)], axis=1))
+    return block._replace(kmer_tab=jnp.concatenate(levels, axis=0),
+                          kmer_bits=bits, kmer_k=k)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def search_batch(block: DeviceFMBlock, patterns: jax.Array,
                  lengths: jax.Array):
@@ -325,16 +389,42 @@ def search_batch(block: DeviceFMBlock, patterns: jax.Array,
     `patterns` is uint8 [B, L] right-aligned (last character at column L-1,
     leading columns zero-padded); `lengths` is int32 [B].  Returns (sp, ep)
     inclusive row ranges; ep < sp means no match.
+
+    With a k-mer table attached, each query's last min(len, k) characters
+    resolve in one 8-byte gather and the lockstep loop shrinks from L-1 to
+    L-k steps.
     """
     B, L = patterns.shape
-    n = block.n
-    last = patterns[:, L - 1].astype(jnp.int32)
-    sp0 = block.c[last]
-    ep0 = block.c[last + 1] - 1
+
+    if block.has_kmer and L > 1:
+        bits, k = block.kmer_bits, min(block.kmer_k, L)
+        # plane-code of the last k characters, char at column L-1-t at
+        # bit position bits*t (so the last j chars are the low bits*j bits)
+        code = jnp.zeros((B,), jnp.int32)
+        bad = jnp.zeros((B,), jnp.bool_)
+        for t in range(k):
+            row = block.sym_plane[patterns[:, L - 1 - t].astype(jnp.int32)]
+            code = code | (jnp.maximum(row, 0) << (bits * t))
+            # a symbol absent from the block, within the query: no match
+            bad = bad | ((row < 0) & (t < lengths))
+        j = jnp.clip(lengths, 1, k)
+        code = code & ((1 << (bits * j)) - 1)
+        offs = jnp.asarray(
+            np.array([_kmer_offset(bits, int(jj)) for jj in range(k + 2)],
+                     dtype=np.int32))
+        seed = block.kmer_tab[offs[j] + code]
+        sp0 = jnp.where(bad, 1, seed[:, 0])
+        ep0 = jnp.where(bad, 0, seed[:, 1])
+        start_col = L - k                 # first unconsumed column
+    else:
+        last = patterns[:, L - 1].astype(jnp.int32)
+        sp0 = block.c[last]
+        ep0 = block.c[last + 1] - 1
+        start_col = L - 1
 
     def body(i, state):
         sp, ep = state
-        col = L - 2 - i
+        col = start_col - 1 - i
         ch = patterns[:, col].astype(jnp.int32)
         active = (col >= L - lengths) & (sp <= ep)
         nsp = block.c[ch] + occ_inclusive(block, ch, sp - 1)
@@ -343,7 +433,7 @@ def search_batch(block: DeviceFMBlock, patterns: jax.Array,
         ep = jnp.where(active, nep, ep)
         return sp, ep
 
-    sp, ep = jax.lax.fori_loop(0, L - 1, body, (sp0, ep0))
+    sp, ep = jax.lax.fori_loop(0, start_col, body, (sp0, ep0))
     return sp, ep
 
 

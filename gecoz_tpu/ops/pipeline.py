@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from gecoz_tpu.ops.fmq import (DeviceFMBlock, build_device_block_jit,
                                decode_text_jit, locate_batch, search_batch,
-                               with_lf_table)
+                               with_kmer_table, with_lf_table)
 from gecoz_tpu.ops.sa_device import (_suffix_array_jit,
                                      _suffix_array_runs_jit, bwt_device,
                                      dense_table)
@@ -57,8 +57,8 @@ def index_and_query(s: jax.Array, patterns: jax.Array, lengths: jax.Array,
 
     Returns (sp, ep, located_start, text) — exercising every kernel.
     """
-    block = with_lf_table(index_block(s, sf=sf, symbols=symbols,
-                                      sa_impl=sa_impl))
+    block = with_kmer_table(with_lf_table(
+        index_block(s, sf=sf, symbols=symbols, sa_impl=sa_impl)))
     sp, ep = search_batch(block, patterns, lengths)
     start_vals = locate_batch(block, sp)
     text = decode_text_jit(block)

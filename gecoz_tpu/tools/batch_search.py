@@ -33,7 +33,7 @@ def find_batched(fm, patterns: list[bytes],
     if not patterns:
         return []
     if device_block is None:
-        device_block = fmq.device_block_from_fm(fm)
+        device_block = fmq.with_kmer_table(fmq.device_block_from_fm(fm))
     arr, lens = pack_patterns(patterns)
     sp, ep = fmq.search_batch(device_block, jnp.asarray(arr),
                               jnp.asarray(lens))

@@ -91,3 +91,52 @@ def test_decode_with_unpacked_lf_table(rng, monkeypatch):
     data, _, fm, _ = make_pair(rng, nseq=2, rate=4, minlen=100, maxlen=400)
     got = fmq.decode_text_device(fm)
     assert bytes(got) == bytes(data)
+
+
+def test_search_batch_with_kmer_table(rng):
+    """Seeded search must agree with the host engine for every length,
+    including patterns with symbols absent from the block."""
+    data, seqs, fm, blk = make_pair(rng, nseq=2, minlen=200, maxlen=500,
+                                    alphabet=b"ACGTN")
+    blk = fmq.with_kmer_table(blk)
+    assert blk.has_kmer and blk.kmer_k >= 1
+    pats = []
+    for plen in [1, 2, 3, blk.kmer_k, blk.kmer_k + 1, 14]:
+        for _ in range(4):
+            pats.append(bytes(rng.choice(
+                np.frombuffer(b"ACGTN", np.uint8), size=plen)))
+    # absent symbol at various offsets
+    pats += [b"Z", b"AZ", b"ZA", b"ACGTZ", b"ZACGTACGT", b"ACGTACGTZ"]
+    # substrings guaranteed to occur
+    raw = bytes(seqs[0])
+    for plen in [1, 5, 11]:
+        pats.append(raw[3:3 + plen])
+    L = max(len(p) for p in pats)
+    arr = np.zeros((len(pats), L), dtype=np.uint8)
+    lens = np.zeros(len(pats), dtype=np.int32)
+    for i, p in enumerate(pats):
+        arr[i, L - len(p):] = np.frombuffer(p, np.uint8)
+        lens[i] = len(p)
+    sp, ep = fmq.search_batch(blk, jnp.asarray(arr), jnp.asarray(lens))
+    sp, ep = np.asarray(sp), np.asarray(ep)
+    for i, p in enumerate(pats):
+        hsp, hep = fm.search_range(p)
+        got = (int(sp[i]), int(ep[i]))
+        if hep < hsp:
+            assert got[1] < got[0], (p, got, (hsp, hep))
+        else:
+            assert got == (hsp, hep), p
+
+
+def test_kmer_table_tiny_block(rng):
+    data = np.frombuffer(b"ACGTACGTAC\0", np.uint8)
+    fm = build_fm(data, 4)
+    blk = fmq.with_kmer_table(fmq.device_block_from_fm(fm))
+    arr = np.zeros((3, 6), dtype=np.uint8)
+    for i, p in enumerate([b"ACGT", b"GTAC", b"\0"]):
+        arr[i, 6 - len(p):] = np.frombuffer(p, np.uint8)
+    lens = np.asarray([4, 4, 1], np.int32)
+    sp, ep = fmq.search_batch(blk, jnp.asarray(arr), jnp.asarray(lens))
+    for i, p in enumerate([b"ACGT", b"GTAC", b"\0"]):
+        hsp, hep = fm.search_range(p)
+        assert (int(sp[i]), int(ep[i])) == (hsp, hep), p
