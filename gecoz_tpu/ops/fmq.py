@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gecoz_tpu.ops.sa_device import _scatter_is_cheap
+from gecoz_tpu.ops.sa_device import apply_perm as _apply_perm
+
 MAX_PLANES = 16
 
 
@@ -107,8 +110,8 @@ def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
         return block
     iota = jnp.arange(n, dtype=jnp.int32)
     sym = block.bwt.astype(jnp.int32)
-    order = jnp.argsort(sym, stable=True)
-    lf = jnp.zeros(n, jnp.int32).at[order].set(iota)
+    _, order = jax.lax.sort((sym, iota), num_keys=2)
+    lf = _apply_perm(order, iota)
     is_zero = sym == 0
     zero_rank = jnp.cumsum(is_zero.astype(jnp.int32)) - 1
     corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
@@ -123,18 +126,16 @@ def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
 
     # 4-step decode table: LF^4 plus the 4 symbols emitted along the way,
     # so a decode walk needs one 8-byte gather per FOUR text positions.
-    # Permutation composition B[A[i]] is done sort-side (sort (A, iota),
-    # scatter B at the sorted iota) — random gathers cost ~58ms/4Mi on
-    # v5e, a 1-key sort+scatter ~30ms, and the symbol chains ride the
-    # same sorts for free.
+    # Permutation composition lf[lf[i]] is done entirely sort-side: one
+    # sort inverts the permutation, then the values return to position
+    # order via _apply_perm (extra value operands ride along ~free).
+    # Random gathers cost ~30ms/4Mi and scatters ~25ms on v5e; a sort ~8ms.
     sym32 = block.bwt.astype(jnp.uint32)
     _, i1 = jax.lax.sort((lf, iota), num_keys=1)
-    lf2 = jnp.zeros(n, jnp.int32).at[i1].set(lf)
-    t1 = jnp.zeros(n, jnp.uint32).at[i1].set(sym32)
+    lf2, t1 = _apply_perm(i1, lf, sym32)
     s2 = sym32 | (t1 << 8)
     _, i2 = jax.lax.sort((lf2, iota), num_keys=1)
-    lf4 = jnp.zeros(n, jnp.int32).at[i2].set(lf2)
-    t2 = jnp.zeros(n, jnp.uint32).at[i2].set(s2)
+    lf4, t2 = _apply_perm(i2, lf2, s2)
     s4 = s2 | (t2 << 16)
     lf4_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
     return block._replace(lf_tab=tab, lf4_tab=lf4_tab)
@@ -255,21 +256,34 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
     bwt32 = bwt.astype(jnp.int32)
     planes = []
     pres = []
+    totals = []
     sym_plane = np.full(256, -1, dtype=np.int32)
     for row, s in enumerate(symbols):
         sym_plane[s] = row
         w, p = _plane_jit((bwt32 == s).astype(jnp.int32))
         planes.append(w)
         pres.append(p)
+        totals.append(p[-1] + jax.lax.population_count(w[-1]).astype(
+            jnp.int32))
 
-    counts = jnp.bincount(bwt32, length=256)
+    # symbol counts fall out of the plane popcounts — no n-wide bincount
+    counts = jnp.zeros((256,), jnp.int32).at[
+        jnp.asarray(symbols, dtype=jnp.int32)].set(jnp.stack(totals))
     c = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          jnp.cumsum(counts).astype(jnp.int32)])
 
     marked = (sa & (rate - 1)) == 0
     mark_words, mark_pre = _plane_jit(marked.astype(jnp.int32))
-    (rows,) = jnp.nonzero(marked, size=m, fill_value=0)
-    perm = (sa[rows] >> sf).astype(jnp.int32)
+    if _scatter_is_cheap():
+        (rows,) = jnp.nonzero(marked, size=m, fill_value=0)
+        perm = (sa[rows] >> sf).astype(jnp.int32)
+    else:
+        # sampled values in row order via one stable partition sort (marked
+        # rows first) — compacting via nonzero+gather is ~4x a sort on TPU
+        iota = jnp.arange(sa.shape[0], dtype=jnp.int32)
+        _, _, vals = jax.lax.sort(
+            ((~marked).astype(jnp.int32), iota, sa >> sf), num_keys=2)
+        perm = vals[:m].astype(jnp.int32)
     inv = jnp.zeros((m,), jnp.int32).at[perm].set(
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)

@@ -32,6 +32,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _scatter_is_cheap() -> bool:
+    """Pick the permutation-write strategy per backend (trace time).
+
+    On TPU a random 4Mi scatter costs ~25 ms and a gather ~30 ms while a
+    2-operand sort is ~8 ms — sorting is the cheap primitive, random HBM
+    access is not.  On CPU it is the reverse (scatter is one linear pass).
+    """
+    return jax.default_backend() == "cpu"
+
+
+def apply_perm(dest, *vals):
+    """out[dest[j]] = vals[j] for each value array; `dest` a permutation.
+
+    TPU: one 1-key sort carrying all values; CPU: plain scatters.
+    """
+    if _scatter_is_cheap():
+        outs = tuple(jnp.zeros_like(v).at[dest].set(v) for v in vals)
+    else:
+        outs = jax.lax.sort((dest,) + vals, num_keys=1)[1:]
+    return outs if len(outs) > 1 else outs[0]
+
+
 def _sort_rerank(key1, key2, iota):
     """Sort positions by (key1, key2); return (new dense ranks in position
     order, sort order, all-distinct flag).
@@ -46,7 +68,7 @@ def _sort_rerank(key1, key2, iota):
         jnp.ones((1,), jnp.int32),
         ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
     ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
-    rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_in_order)
+    rank = apply_perm(order, ranks_in_order)
     done = ranks_in_order[n - 1] == n - 1
     return rank, order, done
 
@@ -162,9 +184,16 @@ def _suffix_array_runs_jit(s: jax.Array):
     rank0, _, done0 = _sort_rerank(key1, key2, iota)
 
     # compact to the token string: slot j = rank0 at run j's start; padding
-    # slots m..n-1 get large distinct keys so they sort last and stay inert
-    drop = jnp.where(is_start, run_id, n)
-    tok = (n + iota).at[drop].set(rank0, mode="drop")
+    # slots m..n-1 get large distinct keys so they sort last and stay inert.
+    if _scatter_is_cheap():
+        drop = jnp.where(is_start, run_id, n)
+        tok = (n + iota).at[drop].set(rank0, mode="drop")
+    else:
+        # compaction = one stable partition sort (run starts first, in
+        # position order), cheaper than a scattered write on TPU
+        _, _, start_rank = jax.lax.sort(
+            ((~is_start).astype(jnp.int32), iota, rank0), num_keys=2)
+        tok = jnp.where(iota < m, start_rank, n + iota)
 
     def shifted(r, k):
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
