@@ -201,18 +201,61 @@ def _suffix_array_runs_jit(s: jax.Array):
         # the token string ends at slot m, not n: past-the-end reads -1
         return jnp.where(iota + k >= m, -1, out)
 
+    # Adaptive rank packing: while the group count G is small, p = 2 or 3
+    # ranks fit one int32 key ((G+1)^p below the pad-key band), so each
+    # 2-key sort round covers 2p*k tokens instead of 2k — the early rounds
+    # quadruple/sextuple the depth at identical sort cost, with the p
+    # selected at runtime via `where` (shapes and the loop body stay
+    # static; no Mosaic-hostile wide sorts).  Padding slots get keys in
+    # the reserved top band (INT32_MAX - n, INT32_MAX] so they always sort
+    # last whatever the packing.
+    t3 = 1
+    while (t3 + 1) ** 3 <= (1 << 31) - n - 2:
+        t3 += 1
+    t2 = 1
+    while (t2 + 1) ** 2 <= (1 << 31) - n - 2:
+        t2 += 1
+    pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - iota)
+
+    def packed_round(rank, k):
+        B = jnp.max(jnp.where(iota < m, rank, -1)) + 2   # bound + 1 offset
+
+        def sh(t):
+            # shift by t*k, saturating at n (depth past the end reads all
+            # -1 anyway); the where discards the wrapped product safely
+            off = jnp.where(k > n // t, jnp.int32(n), t * k)
+            return shifted(rank, off) + 1
+        r0 = rank
+        r1, r2, r3, r4, r5 = sh(1), sh(2), sh(3), sh(4), sh(5)
+        p3 = B <= t3
+        p2 = B <= t2
+        key1 = jnp.where(
+            p3, (r0 * B + r1) * B + r2,
+            jnp.where(p2, r0 * B + r1, r0))
+        key2 = jnp.where(
+            p3, (r3 * B + r4) * B + r5,
+            jnp.where(p2, r2 * B + r3, r1))
+        key1 = jnp.where(iota < m, key1, pad_key1)
+        key2 = jnp.where(iota < m, key2, 0)
+        rank, _, done = _sort_rerank(key1, key2, iota)
+        # k invariant: rank entering a round always orders by < n tokens
+        # (depth >= n makes all ranks distinct, so done exits first); cap
+        # the multiplier where k*6 could wrap int32 (k*2 never can)
+        mult = jnp.where(p3, 6, jnp.where(p2, 4, 2)).astype(jnp.int32)
+        mult = jnp.where(k > ((1 << 31) - 1) // 6, 2, mult)
+        return rank, k * mult, done
+
     def body(state):
         rank, k, _ = state
-        rank, _, done = _sort_rerank(rank, shifted(rank, k), iota)
-        return rank, k * 2, done
+        return packed_round(rank, k)
 
     def cond(state):
         _, k, done = state
         return jnp.logical_and(~done, k < 2 * n)
 
-    rank, _, done1 = _sort_rerank(tok, shifted(tok, 1), iota)
+    rank, k1, done1 = packed_round(tok, jnp.int32(1))
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(2), done1 | done0))
+        cond, body, (rank, k1, done1 | done0))
 
     # rank of the *next* run's start suffix, broadcast over each run —
     # one monotone gather by run id (the only gather in the algorithm)
