@@ -113,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                 end = int(out[3]) if len(out) > 3 else None
                 driver.extract_range(ipath, out[1], start, end, opath)
             else:
-                driver.decompress(ipath, opath, backend=backend)
+                driver.decompress(ipath, opath, backend=backend,
+                                  threads=threads)
         else:
             idx = params.get("-idx") or params.get("--index")
             xpath = Path(idx[0]) if idx else None

@@ -130,6 +130,65 @@ def format_fasta_record(header: str, data: np.ndarray | bytes) -> bytes:
     return bytes(out)
 
 
+def record_size(header: str, n: int) -> int:
+    """Exact byte size of one output record (the reference pre-reserves
+    this region per sequence, FastaFileWriter.java:142 — ``len + len/50 + 1``
+    plus the header line)."""
+    hlen = len(header.encode()) + 2          # '>' + header + '\n'
+    if n == 0:
+        return hlen
+    nlines = -(-n // LINE_LENGTH)
+    return hlen + n + nlines + (1 if n % LINE_LENGTH == 0 else 0)
+
+
+def write_fasta_segment(mm: np.ndarray, rec_off: int, header_len: int,
+                        seqlen: int, p0: int, p1: int,
+                        data: np.ndarray) -> None:
+    """Write sequence positions [p0, p1) of one record into its reflowed
+    50-char-line region of the pre-sized output (mm = uint8 view of the
+    file).  Also writes the newline of every line whose LAST character the
+    segment covers (incl. the exact-multiple-of-50 quirk's extra blank
+    line), so disjoint segments touch disjoint bytes — the concurrency
+    contract the reference gets from per-sequence mmap regions
+    (FastaFileWriter.java:30-224), here at chunk granularity.
+    """
+    LL = LINE_LENGTH
+    base = rec_off + header_len
+    if p1 <= p0:
+        return
+
+    def off(p: int) -> int:                 # file offset of position p
+        return base + p + p // LL
+
+    pos = p0
+    # head partial line
+    if p0 % LL:
+        stop = min(p1, (p0 // LL + 1) * LL)
+        mm[off(p0):off(p0) + (stop - p0)] = data[:stop - p0]
+        if stop == (p0 // LL + 1) * LL:      # completed line -> its newline
+            mm[off(stop - 1) + 1] = ord("\n")
+        pos = stop
+    # full lines (strided block copy)
+    nfull = (p1 - pos) // LL
+    if nfull > 0:
+        row = pos // LL
+        src = data[pos - p0:pos - p0 + nfull * LL].reshape(nfull, LL)
+        view = mm[base + row * (LL + 1):
+                  base + (row + nfull) * (LL + 1)].reshape(nfull, LL + 1)
+        view[:, :LL] = src
+        view[:, LL] = ord("\n")
+        pos += nfull * LL
+    # tail partial line
+    if pos < p1:
+        mm[off(pos):off(pos) + (p1 - pos)] = data[pos - p0:]
+    # end-of-record newlines
+    if p1 == seqlen:
+        if seqlen % LL == 0:
+            mm[base + seqlen + seqlen // LL] = ord("\n")   # quirk blank line
+        else:
+            mm[off(seqlen - 1) + 1] = ord("\n")
+
+
 class FastaWriter:
     def __init__(self, path: str | Path):
         self.f = open(path, "wb")

@@ -16,6 +16,7 @@ Byte-compatible with the reference container (nova-formats gecoz/):
 from __future__ import annotations
 
 import struct
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -98,6 +99,28 @@ def parse_ssa_header(buf: bytes, offset: int) -> tuple[int, int]:
 
 # -- block encode ----------------------------------------------------------
 
+# device dispatch is serialized: concurrent whole-block programs from the
+# threaded writer would contend for HBM (the pool parallelism is for the
+# host tiers; the device pipelines internally)
+_DEVICE_LOCK = threading.Lock()
+
+
+def _encode_on_device(data: np.ndarray, shape: HSWTShape):
+    """Device tier: SA + BWT + wavelet bit planes on the TPU."""
+    import jax.numpy as jnp
+
+    from gecoz_tpu.ops.sa_device import bwt_device, suffix_array_device
+    from gecoz_tpu.ops.wavelet import build_hswt_device
+
+    with _DEVICE_LOCK:
+        d = jnp.asarray(data)
+        sa_dev = suffix_array_device(d)
+        bwt = np.asarray(bwt_device(d, sa_dev))
+        sa = np.asarray(sa_dev).astype(np.int64)
+        hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
+    return sa, bwt, hswt
+
+
 def encode_block(data: np.ndarray, headers: list[str],
                  sampling_rate: int = DEFAULT_SAMPLING_RATE,
                  backend: str = "auto") -> tuple[bytes, bytes]:
@@ -105,6 +128,12 @@ def encode_block(data: np.ndarray, headers: list[str],
 
     Pipeline (GecozFileWriter.write:124-159 + BlockWriter.run:257-284):
     histogram -> shape -> suffix array -> BWT -> wavelet nodes + sampled SA.
+
+    backend 'auto' uses the TPU when a functioning accelerator is attached
+    and the block is large enough to amortize dispatch; any device failure
+    (incl. OOM) falls back to the host tier — the elastic-degradation
+    analog of the reference's pool-shrink-on-OOM (GecozFileWriter.java:
+    204-226), with static exact-size planning doing the rest.
     """
     data = np.asarray(data, dtype=np.uint8)
     n = len(data)
@@ -113,19 +142,23 @@ def encode_block(data: np.ndarray, headers: list[str],
     counts = np.bincount(data, minlength=256).astype(np.int64)
     shape = HSWTShape.from_counts(counts)
 
+    if backend == "auto":
+        from gecoz_tpu.utils import accel
+        if accel.device_worthwhile(n) and accel.accelerator_ok():
+            backend = "device"
+
+    sa = None
     if backend == "device":
-        import jax.numpy as jnp
-
-        from gecoz_tpu.ops.sa_device import bwt_device, suffix_array_device
-        from gecoz_tpu.ops.wavelet import build_hswt_device
-
-        d = jnp.asarray(data)
-        sa_dev = suffix_array_device(d)
-        bwt = np.asarray(bwt_device(d, sa_dev))
-        sa = np.asarray(sa_dev).astype(np.int64)
-        hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
-    else:
-        sa = suffix_array(data, backend=backend)
+        try:
+            sa, bwt, hswt = _encode_on_device(data, shape)
+        except Exception as ex:             # noqa: BLE001 — any device
+            import logging
+            logging.getLogger("gecoz").warning(
+                "device encode failed (%s: %s); using the host tier",
+                type(ex).__name__, ex)
+    if sa is None:
+        sa = suffix_array(data, backend="auto" if backend == "device"
+                          else backend)
         bwt = bwt_from_sa(data, sa)
         hswt = HSWT.build(bwt, shape)
     ssa = SampledSAIndex.build(sa, sampling_rate)

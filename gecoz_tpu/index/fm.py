@@ -37,6 +37,7 @@ class FMIndex:
         self._c: np.ndarray | None = None
         self._e: np.ndarray | None = None
         self._wrap: int | None = None
+        self._walk_seeds: np.ndarray | None = None
 
     # -- lazy derived state ------------------------------------------------
 
@@ -85,13 +86,24 @@ class FMIndex:
 
     @property
     def lf(self) -> np.ndarray:
-        """Full LF-mapping table with the separator correction applied."""
+        """Full LF-mapping table with the separator correction applied.
+
+        int32 (4 bytes/row): blocks are capped at 2^31 rows by the int32-SA
+        contract (SAIS.java:103), so int64 would only double the footprint
+        of the decode-path working set."""
         if self._lf is None:
             bwt = self.bwt
             n = self.length
-            lf = np.zeros(n, dtype=np.int64)
+            try:
+                from gecoz_tpu import native
+                if native.available():
+                    self._lf = native.lf_build(bwt, self.wrap_row)
+                    return self._lf
+            except RuntimeError:
+                pass
+            lf = np.zeros(n, dtype=np.int32)
             order = np.argsort(bwt, kind="stable")
-            lf[order] = np.arange(n, dtype=np.int64)
+            lf[order] = np.arange(n, dtype=np.int32)
             zero_rows = np.flatnonzero(bwt == 0)
             if len(zero_rows):
                 occ0 = np.arange(len(zero_rows), dtype=np.int64)
@@ -309,6 +321,54 @@ class FMIndex:
             pos[live] -= 1
             live = pos >= starts
         return out[lo - base:hi - base]
+
+    # -- chunked walk-schedule decode (the parallel-decompress primitive) ----
+
+    @property
+    def n_walks(self) -> int:
+        """Number of sampling-interval walks covering [0, n-1)."""
+        rate = 1 << self.index.sampling_factor
+        return (self.length - 1 + rate - 1) // rate if self.length > 1 else 0
+
+    def walk_seeds(self) -> np.ndarray:
+        """Seed row per walk: walk w starts at the row whose SA value is
+        min((w+1)*rate, n-1); a partial final walk seeds at row 0 (SA value
+        n-1).  Computed once per block, O(n/rate)."""
+        if self._walk_seeds is None:
+            self._require_index()
+            n = self.length
+            rate = 1 << self.index.sampling_factor
+            nwalks = self.n_walks
+            rows, values = self.index.sampled_rows()
+            row_by_chunk = np.zeros(len(values), dtype=np.int64)
+            row_by_chunk[values >> self.index.sampling_factor] = rows
+            seeds = np.zeros(nwalks, dtype=np.int64)
+            ends = np.minimum(
+                (np.arange(nwalks, dtype=np.int64) + 1) * rate, n - 1)
+            full = ends % rate == 0
+            seeds[full] = row_by_chunk[ends[full] >> self.index.sampling_factor]
+            # partial tail: row 0 carries SA value n-1 == ends[-1]
+            self._walk_seeds = seeds
+        return self._walk_seeds
+
+    def decode_walks(self, w0: int, w1: int) -> np.ndarray:
+        """Decode global positions [w0*rate, min(w1*rate, n-1)).
+
+        Thread-safe once `lf` and `walk_seeds` are materialized (read-only
+        from then on); the native path releases the GIL, so chunk workers
+        scale across threads — the TPU-host analog of GecoRead.java:141-175's
+        4 MiB SequenceExtractor chunks."""
+        n = self.length
+        rate = 1 << self.index.sampling_factor
+        seeds = self.walk_seeds()[w0:w1]
+        try:
+            from gecoz_tpu import native
+            if native.available():
+                return native.fm_decode_walks(self.bwt, self.lf, seeds,
+                                              w0, w1, rate, 0)
+        except RuntimeError:
+            pass
+        return self.decode_range(w0 * rate, min(w1 * rate, n - 1))
 
     def extract(self, nstr: int, start: int = 0, end: int | None = None) -> bytes:
         """Bytes [start, end) of sequence `nstr` (GSSA.extract:90-126);

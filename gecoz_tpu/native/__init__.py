@@ -55,6 +55,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_lf_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.gecoz_fm_decode_walks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.gecoz_wt_partition.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
@@ -171,6 +179,41 @@ def fm_decode(bwt: np.ndarray, wrap_row: int, seeds: np.ndarray,
             _u8ptr(bwt), n, wrap_row,
             seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(seeds), rate, tail_rewind, _u8ptr(text))
+    return text
+
+
+def lf_build(bwt: np.ndarray, wrap_row: int) -> np.ndarray:
+    """Corrected LF table as int32 (4 bytes/row; blocks are int32-capped)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    lf = np.empty(len(bwt), dtype=np.int32)
+    if len(bwt):
+        lib.gecoz_lf_build(_u8ptr(bwt), len(bwt), wrap_row, _i32ptr(lf))
+    return lf
+
+
+def fm_decode_walks(bwt: np.ndarray, lf: np.ndarray, seeds: np.ndarray,
+                    w0: int, w1: int, rate: int,
+                    tail_rewind: int = 0) -> np.ndarray:
+    """Decode walks [w0, w1) with a prebuilt LF table; returns the bytes of
+    global positions [w0*rate, min(w1*rate, n-1)).  Releases the GIL, so
+    chunk workers scale across threads."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    lf = np.ascontiguousarray(lf, dtype=np.int32)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    n = len(bwt)
+    out_len = min(w1 * rate, n - 1) - w0 * rate
+    text = np.zeros(max(out_len, 0), dtype=np.uint8)
+    if out_len > 0:
+        lib.gecoz_fm_decode_walks(
+            _u8ptr(bwt), n, _i32ptr(lf),
+            seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            w0, w1, rate, tail_rewind, _u8ptr(text))
     return text
 
 

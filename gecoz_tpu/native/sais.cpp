@@ -219,47 +219,65 @@ void gecoz_deinterleave_rbv(const uint8_t* buf, int64_t len_bits,
 
 extern "C" {
 
-// Full-text FM decode: per-sampling-interval backward LF walks in C++.
-// bwt: BWT bytes; wrap_row: row with SA value 0; seeds[w]: BWT row whose
-// SA value is (w+1)*rate for w < nwalks (the last walk may be partial:
-// its seed must carry SA value tail_hi and emits tail_hi-1 .. w*rate).
-// Emits text[0 .. n-2]; the caller writes the final terminator at n-1.
-// tail_rewind: LF pre-steps for the LAST walk before it starts emitting
-// (used when the tail is partial: its seed is row 0 = SA value n-1).
-void gecoz_fm_decode(const uint8_t* bwt, int64_t n, int64_t wrap_row,
-                     const int64_t* seeds, int64_t nwalks, int64_t rate,
-                     int64_t tail_rewind, uint8_t* text) {
-  // LF table: counting pass (c buckets), then the separator correction
+// Corrected LF table in int32 (block length is capped at 2^31 by the
+// int32-SA contract, SAIS.java:103): LF(i) = c[bwt[i]] + rank, with the
+// separator wrap-row fix documented in gecoz_tpu/index/fm.py.
+void gecoz_lf_build(const uint8_t* bwt, int64_t n, int64_t wrap_row,
+                    int32_t* lf) {
   std::vector<int64_t> c(257, 0);
   for (int64_t i = 0; i < n; ++i) c[bwt[i] + 1]++;
   for (int i = 0; i < 256; ++i) c[i + 1] += c[i];
-  std::vector<int64_t> lf(n);
-  {
-    std::vector<int64_t> seen(256, 0);
-    int64_t zero_rank = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      uint8_t s = bwt[i];
-      if (s == 0) {
-        lf[i] = 1 + zero_rank - (wrap_row < i ? 1 : 0);
-        zero_rank++;
-      } else {
-        lf[i] = c[s] + seen[s]++;
-      }
+  std::vector<int64_t> seen(256, 0);
+  int64_t zero_rank = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t s = bwt[i];
+    if (s == 0) {
+      lf[i] = (int32_t)(1 + zero_rank - (wrap_row < i ? 1 : 0));
+      zero_rank++;
+    } else {
+      lf[i] = (int32_t)(c[s] + seen[s]++);
     }
-    if (wrap_row >= 0 && wrap_row < n) lf[wrap_row] = 0;
   }
-  for (int64_t w = 0; w < nwalks; ++w) {
+  if (wrap_row >= 0 && wrap_row < n) lf[wrap_row] = 0;
+}
+
+// Decode walks [w0, w1) of the per-sampling-interval schedule with a
+// prebuilt LF table (gecoz_lf_build).  Walk w emits global positions
+// [w*rate, min((w+1)*rate, n-1)); seeds[w-w0] is the BWT row whose SA
+// value is min((w+1)*rate, n-1) (a partial final walk passes row 0, whose
+// SA value is n-1, optionally pre-advanced by tail_rewind LF steps).
+// `text` is chunk-local: text[pos - w0*rate].  Thread-safe over disjoint
+// walk ranges (bwt/lf are read-only), which is what the parallel decode
+// pipeline exploits (GecoRead.java:83-175's pool, re-cast as chunk
+// workers over one shared table).
+void gecoz_fm_decode_walks(const uint8_t* bwt, int64_t n, const int32_t* lf,
+                           const int64_t* seeds, int64_t w0, int64_t w1,
+                           int64_t rate, int64_t tail_rewind, uint8_t* text) {
+  int64_t base = w0 * rate;
+  for (int64_t w = w0; w < w1; ++w) {
     int64_t hi = (w + 1) * rate;             // exclusive top position
     if (hi > n - 1) hi = n - 1;              // tail walk
     int64_t lo = w * rate;
-    int64_t idx = seeds[w];
-    if (w == nwalks - 1)
+    int64_t idx = seeds[w - w0];
+    if (w == w1 - 1 && tail_rewind)
       for (int64_t p = 0; p < tail_rewind; ++p) idx = lf[idx];
     for (int64_t pos = hi - 1; pos >= lo; --pos) {
-      text[pos] = bwt[idx];
+      text[pos - base] = bwt[idx];
       idx = lf[idx];
     }
   }
+}
+
+// Full-text FM decode (single call): builds the LF table then runs every
+// walk.  Kept for the one-shot path; the chunked pipeline uses
+// gecoz_lf_build + gecoz_fm_decode_walks directly.
+void gecoz_fm_decode(const uint8_t* bwt, int64_t n, int64_t wrap_row,
+                     const int64_t* seeds, int64_t nwalks, int64_t rate,
+                     int64_t tail_rewind, uint8_t* text) {
+  std::vector<int32_t> lf(n);
+  gecoz_lf_build(bwt, n, wrap_row, lf.data());
+  gecoz_fm_decode_walks(bwt, n, lf.data(), seeds, 0, nwalks, rate,
+                        tail_rewind, text);
 }
 
 }  // extern "C"

@@ -97,13 +97,17 @@ jax.tree_util.register_pytree_node(
 _PACK_LIMIT = 1 << 23    # lf values below this pack with the symbol in u32
 
 
-def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
+def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     """Attach the fused LF table (jittable).
 
     One stable sort of the BWT yields the plain LF mapping (stable argsort
     groups by symbol preserving row order, which IS C[sym]+rank); the
     separator correction is a cumsum over the zero plane.  Decode/locate
     steps then cost ONE gather instead of three (bwt + plane + prefix).
+
+    With decode=True the 4-step LF^4 decode table is also built (two extra
+    sort/invert rounds + 8 bytes/row of HBM); locate-only callers pass
+    decode=False to skip it.
     """
     n = block.n
     if n == 0 or block.has_lf:
@@ -123,6 +127,8 @@ def with_lf_table(block: DeviceFMBlock) -> DeviceFMBlock:
         # rows don't fit 24 bits: (lf, sym) side by side, one 2-wide gather
         tab = jnp.stack([lf.astype(jnp.uint32),
                          block.bwt.astype(jnp.uint32)], axis=1)
+    if not decode:
+        return block._replace(lf_tab=tab)
 
     # 4-step decode table: LF^4 plus the 4 symbols emitted along the way,
     # so a decode walk needs one 8-byte gather per FOUR text positions.

@@ -133,32 +133,130 @@ def _resume_prefix(opath, xpath, blocks, sampling) -> int:
     return good
 
 
-def decompress(ipath, opath, backend: str = "auto") -> None:
-    """.gcz -> FASTA (GecoRead.fasta)."""
+DECODE_CHUNK = 4 << 20      # bytes of text per decode task (GecoRead's 4 MiB)
+
+
+def decompress(ipath, opath, backend: str = "auto", threads: int = 1) -> None:
+    """.gcz -> FASTA (GecoRead.fasta:83-175, re-designed).
+
+    The output file is pre-sized from the exact per-record layout (the
+    reference reserves mmap regions per sequence, FastaFileWriter.java:142);
+    each block then decodes in 4 MiB sampling-aligned chunks written
+    straight into the reflowed region — peak memory is O(block tables +
+    threads * chunk), never O(text), and `-t` workers decode chunks
+    concurrently over the shared read-only LF table.
+
+    backend 'auto' decodes on the TPU when a functioning accelerator is
+    attached and the block is large enough to amortize dispatch; any device
+    failure falls back to the host tier.
+    """
     t0 = time.time()
     from gecoz_tpu.utils import metrics
     from gecoz_tpu.utils.hostmem import warm_for_block
     reader = GecozReader(ipath)
     if reader.headers:
         warm_for_block(max(h.len for h in reader.headers))
-    with FastaWriter(opath) as w:
-        for bheader in reader.headers:
-            with metrics.phase("decode.read_block"):
-                fm = reader.read(bheader)
-            with metrics.phase("decode.extract", bheader.len):
-                text = _decode_block(fm, backend)
-            with metrics.phase("decode.write_fasta"):
-                for i, header in enumerate(bheader.headers):
-                    b, t = fm.seq_bounds(i)
-                    w.write(header, text[b:t])
+    with open(opath, "wb"):
+        pass                                  # create/truncate
+    base = 0
+    for bheader in reader.headers:
+        with metrics.phase("decode.read_block"):
+            fm = reader.read(bheader)
+        with metrics.phase("decode.extract", bheader.len):
+            base = _decompress_block(fm, bheader.headers, opath, base,
+                                     backend, threads)
     log.info("finished in %d ms", (time.time() - t0) * 1000)
 
 
-def _decode_block(fm, backend: str) -> np.ndarray:
-    if backend == "device":
+def _decompress_block(fm, headers: list[str], opath, base: int,
+                      backend: str, threads: int) -> int:
+    """Decode one block into its pre-sized region of `opath`; returns the
+    file offset following the block's records."""
+    from gecoz_tpu.formats.fasta import record_size, write_fasta_segment
+
+    # record layout: (file_off, header_len, header_bytes, lo, hi) per seq
+    recs = []
+    off = base
+    for i, hdr in enumerate(headers):
+        b, t = fm.seq_bounds(i)
+        hbytes = b">" + hdr.encode() + b"\n"
+        recs.append((off, len(hbytes), hbytes, b, t))
+        off += record_size(hdr, t - b)
+    end = off
+    with open(opath, "r+b") as f:
+        f.truncate(end)
+    mm = np.memmap(opath, dtype=np.uint8, mode="r+")
+    for roff, hlen, hbytes, _, _ in recs:
+        mm[roff:roff + hlen] = np.frombuffer(hbytes, np.uint8)
+    starts = [r[3] for r in recs]             # sequence lo bounds, ascending
+
+    def scatter(lo: int, data: np.ndarray) -> None:
+        """Route global text chunk [lo, lo+len) to its record segments."""
+        import bisect
+        hi = lo + len(data)
+        i = max(0, bisect.bisect_right(starts, lo) - 1)
+        while i < len(recs) and recs[i][3] < hi:
+            roff, hlen, _, b, t = recs[i]
+            s0, s1 = max(lo, b), min(hi, t)
+            if s1 > s0:
+                write_fasta_segment(mm, roff, hlen, t - b, s0 - b, s1 - b,
+                                    data[s0 - lo:s1 - lo])
+            i += 1
+
+    text = _device_decode(fm, backend)
+    if text is not None:
+        # device tier returned the full text: scatter it (parallel reflow)
+        chunks = [(lo, text[lo:lo + DECODE_CHUNK])
+                  for lo in range(0, fm.length, DECODE_CHUNK)]
+        _run_tasks([(scatter, c) for c in chunks], threads)
+        mm.flush()
+        return end
+
+    # host tier: chunked walk decode over the shared read-only LF table
+    fm._require_index()
+    rate = 1 << fm.index.sampling_factor
+    _ = fm.bwt, fm.lf, fm.walk_seeds()        # materialize shared state once
+    nwalks = fm.n_walks
+    wpc = max(1, DECODE_CHUNK // rate)        # walks per chunk
+
+    def decode_task(w0: int, w1: int) -> None:
+        scatter(w0 * rate, fm.decode_walks(w0, w1))
+
+    tasks = [(decode_task, (w0, min(w0 + wpc, nwalks)))
+             for w0 in range(0, nwalks, wpc)]
+    _run_tasks(tasks, threads)
+    mm.flush()
+    return end
+
+
+def _run_tasks(tasks, threads: int) -> None:
+    if threads <= 1 or len(tasks) <= 1:
+        for fn, args in tasks:
+            fn(*args)
+        return
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+        futs = [pool.submit(fn, *args) for fn, args in tasks]
+        for f in futs:
+            f.result()
+
+
+def _device_decode(fm, backend: str) -> np.ndarray | None:
+    """Full-text device decode when the backend choice calls for it;
+    None -> use the host tier.  Device failures fall back (with a warning)
+    rather than aborting — the degradation policy PARITY.md documents."""
+    from gecoz_tpu.utils import accel
+    want = backend == "device" or (
+        backend == "auto" and accel.device_worthwhile(fm.length)
+        and accel.accelerator_ok())
+    if not want:
+        return None
+    try:
         from gecoz_tpu.ops.fmq import decode_text_device
         return np.asarray(decode_text_device(fm))
-    return fm.decode_text()
+    except Exception as ex:                    # noqa: BLE001 — any device
+        log.warning("device decode failed (%s); using the host tier", ex)
+        return None
 
 
 def extract_range(ipath, header: str, start: int, end: int | None,

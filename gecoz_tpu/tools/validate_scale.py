@@ -1,21 +1,35 @@
 """Large-scale synthetic-genome validation harness.
 
 No genomic corpora ship in this image, so this generates an hg38-shaped
-synthetic genome — per-chromosome telomere/centromere N runs, Alu-like
-interspersed repeats, tandem repeats, CpG-skewed base composition — and
-validates the full production path at scale (the reference's de-facto
-validation is an hg38 round trip, README.md:31-36):
+synthetic genome and validates the full production path at scale (the
+reference's de-facto validation is an hg38 round trip, README.md:31-36):
 
-  fasta -> .gcz/.gcx -> fasta   bit-exact per header
+  fasta -> .gcz/.gcx -> fasta   bit-exact per header (md5)
   count/search spot checks vs naive scans of the source
   range extraction across N-run boundaries
   --check integrity verification
 
-Usage: python -m gecoz_tpu.tools.validate_scale [total_MB] [out_dir]
+Two genome profiles:
+
+* ``genome``  — many chromosomes with telomere/centromere N runs, Alu-like
+  interspersed repeats, tandem repeats, CpG-skewed composition (rich
+  structure, exercises the block merge policy on a size spectrum).
+* ``hg38``    — the reference's headline shape (README.md:31-44): one
+  chr1-sized sequence (--mb, default 248) plus proportionally smaller ones,
+  so the largest block matches the reference's worst case.
+
+``--cli`` drives the real CLI in a subprocess (the exact user path,
+including the malloc re-exec); default runs the drivers in-process.
+
+Usage: python -m gecoz_tpu.tools.validate_scale [--profile hg38] [--mb 248]
+           [--out DIR] [--cli] [--backend auto|native|numpy|device] [-t N]
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -61,113 +75,196 @@ def synth_chromosome(rng: np.random.Generator, n: int) -> np.ndarray:
     return out
 
 
-def write_fasta(path: Path, chroms: dict[str, np.ndarray]) -> None:
-    with open(path, "wb") as f:
-        for name, seq in chroms.items():
+def synth_seq(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Fast flat synthesis for the hg38 profile (vectorized, few N runs)."""
+    syms = np.frombuffer(b"ACGTN", np.uint8)
+    out = rng.choice(syms, size=n, p=[0.29, 0.205, 0.205, 0.29, 0.01])
+    for _ in range(3):      # megabase-scale N runs like real centromeres
+        start = int(rng.integers(0, max(1, n - n // 50)))
+        out[start:start + n // 100] = ord("N")
+    return out.astype(np.uint8)
+
+
+def write_fasta(path: Path, chroms: dict[str, np.ndarray],
+                width: int = 60) -> None:
+    """60-char-line FASTA, reflowed without a per-line python loop."""
+    with open(path, "wb", buffering=1 << 22) as f:
+        for name, s in chroms.items():
             f.write(b">" + name.encode() + b"\n")
-            for i in range(0, len(seq), 60):
-                f.write(seq[i:i + 60].tobytes() + b"\n")
+            n = len(s)
+            rows = -(-n // width)
+            buf = np.full((rows, width + 1), ord("\n"), np.uint8)
+            pad = rows * width - n
+            flat = np.concatenate([s, np.zeros(pad, np.uint8)])
+            buf[:, :width] = flat.reshape(rows, width)
+            raw = buf.tobytes()
+            if pad:
+                raw = raw[: -(pad + 1)] + b"\n"
+            f.write(raw)
 
 
-def read_fasta(path: Path) -> dict[str, bytes]:
-    out: dict[str, list[bytes]] = {}
-    name = None
-    for line in open(path, "rb"):
-        line = line.rstrip(b"\r\n")
-        if line.startswith(b">"):
-            name = line[1:].decode()
-            out[name] = []
-        elif name is not None:
-            out[name].append(line)
-    return {k: b"".join(v) for k, v in out.items()}
+def md5s_of_fasta(path: Path) -> dict[str, str]:
+    """Per-header md5 of sequence bytes (streaming, O(line) memory)."""
+    out: dict[str, str] = {}
+    cur, h = None, None
+    with open(path, "rb", buffering=1 << 22) as f:
+        for line in f:
+            if line.startswith(b">"):
+                if cur is not None:
+                    out[cur] = h.hexdigest()
+                cur = line[1:].split()[0].decode()
+                h = hashlib.md5()
+            else:
+                h.update(line.rstrip(b"\r\n"))
+    if cur is not None:
+        out[cur] = h.hexdigest()
+    return out
 
 
-def main() -> int:
-    total_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 192
-    outdir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/tmp/gcz_scale")
+def overlap_count(hay: bytes, pat: bytes) -> int:
+    want, at = 0, hay.find(pat)
+    while at >= 0:
+        want += 1
+        at = hay.find(pat, at + 1)
+    return want
+
+
+def run_cli(args: list[str]) -> float:
+    cmd = [sys.executable, "-m", "gecoz_tpu.cli", *args]
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True)
+    return time.perf_counter() - t0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--profile", choices=("genome", "hg38"), default="genome")
+    ap.add_argument("--mb", type=int, default=None,
+                    help="total MB (genome) or chr1 MB (hg38)")
+    ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--cli", action="store_true",
+                    help="drive the CLI in a subprocess")
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("-t", "--threads", type=int, default=1)
+    a = ap.parse_args(argv)
+    mb = a.mb if a.mb is not None else (248 if a.profile == "hg38" else 192)
+    outdir = a.out or Path("/tmp/gcz_scale")
     outdir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(2024)
 
-    # chromosome size spectrum roughly hg38-shaped (largest ~12.5% of total)
-    total = total_mb << 20
-    sizes = []
-    remaining = total
-    frac = 0.125
-    while remaining > (1 << 20) and len(sizes) < 24:
-        sz = max(1 << 20, int(total * frac))
-        sz = min(sz, remaining)
-        sizes.append(sz)
-        remaining -= sz
-        frac *= 0.82
-    if remaining > 0:
-        sizes.append(remaining)
-
-    print(f"generating {len(sizes)} chromosomes, {total >> 20} MiB total")
-    chroms = {}
-    for i, sz in enumerate(sizes):
-        chroms[f"chr{i + 1}"] = synth_chromosome(rng, sz)
+    # -- synthesize ---------------------------------------------------------
+    t0 = time.perf_counter()
+    if a.profile == "hg38":
+        sizes = {"chr1": mb << 20, "chr9": int(mb * 0.56) << 20,
+                 "chr17": int(mb * 0.33) << 20, "chr21": int(mb * 0.19) << 20,
+                 "chrM": 16_569}
+        chroms = {k: synth_seq(rng, n) for k, n in sizes.items()}
+    else:
+        # chromosome size spectrum roughly hg38-shaped (largest ~12.5%)
+        total = mb << 20
+        sizes_l, remaining, frac = [], total, 0.125
+        while remaining > (1 << 20) and len(sizes_l) < 24:
+            sz = min(max(1 << 20, int(total * frac)), remaining)
+            sizes_l.append(sz)
+            remaining -= sz
+            frac *= 0.82
+        if remaining > 0:
+            sizes_l.append(remaining)
+        chroms = {f"chr{i + 1}": synth_chromosome(rng, sz)
+                  for i, sz in enumerate(sizes_l)}
+    total = sum(len(v) for v in chroms.values())
     fa = outdir / "genome.fa"
-    t0 = time.perf_counter()
     write_fasta(fa, chroms)
-    print(f"wrote {fa} in {time.perf_counter() - t0:.1f}s")
+    print(f"wrote {fa} ({total >> 20} MiB, {len(chroms)} sequences) in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
-    from gecoz_tpu.tools import driver
-
-    gcz = outdir / "genome.gcz"
-    t0 = time.perf_counter()
-    driver.index_fasta(str(fa), str(gcz))
-    dt = time.perf_counter() - t0
-    csize = gcz.stat().st_size + gcz.with_suffix(".gcx").stat().st_size
-    print(f"indexed in {dt:.1f}s ({total / dt / 1e6:.1f} MB/s host), "
-          f"{csize >> 20} MiB compressed ({8 * csize / total:.3f} bit/sym)")
-
-    back = outdir / "back.fa"
-    t0 = time.perf_counter()
-    driver.decompress(str(gcz), str(back))
-    print(f"decompressed in {time.perf_counter() - t0:.1f}s")
-
-    got = read_fasta(back)
-    ok = True
-    for name, seq in chroms.items():
-        if got.get(name, b"") != seq.tobytes():
-            print(f"MISMATCH {name}")
-            ok = False
-    print("round trip:", "OK" if ok else "FAILED")
-
-    # count spot checks vs the source
-    hay = {k: v.tobytes() for k, v in chroms.items()}
+    # record expectations, then free the source (big profiles)
+    want_md5 = {k: hashlib.md5(v.tobytes()).hexdigest()
+                for k, v in chroms.items()}
+    first = next(iter(chroms))
+    checks = []      # (pattern, expected overlapping count)
     for plen in (12, 20, 40):
-        src = chroms["chr1"]
+        src = chroms[first]
         s = int(rng.integers(0, len(src) - plen))
         pat = src[s:s + plen].tobytes()
         if b"N" in pat or b"\0" in pat:
             continue
-        want = sum(h.count(pat) for h in hay.values())
-        # overlapping occurrences: recount with find
-        want = 0
-        for h in hay.values():
-            at = h.find(pat)
-            while at >= 0:
-                want += 1
-                at = h.find(pat, at + 1)
-        import io
+        checks.append((pat, sum(overlap_count(v.tobytes(), pat)
+                                for v in chroms.values())))
+    # range extraction probe across an N boundary
+    rkey = "chr2" if "chr2" in chroms else first
+    rsrc = chroms[rkey]
+    npos_arr = np.flatnonzero(rsrc == ord("N"))
+    rlo = max(0, (int(npos_arr[0]) if len(npos_arr) else 100) - 30)
+    rwant = rsrc[rlo:rlo + 60].tobytes()
+    big = total > (1 << 28)
+    if big:
+        del chroms, src, rsrc
+
+    # -- index --------------------------------------------------------------
+    from gecoz_tpu.tools import driver
+    gcz = outdir / "genome.gcz"
+    gcx = gcz.with_suffix(".gcx")
+    if a.cli:
+        t_idx = run_cli(["-i", str(fa), "-o", str(gcz), "-t", str(a.threads),
+                         "--backend", a.backend, "-v", "INFO"])
+    else:
         t0 = time.perf_counter()
-        n_hits = driver.match(str(gcz), None, pat.decode(), False,
-                              out=io.StringIO())
+        driver.index_fasta(str(fa), str(gcz), backend=a.backend,
+                           threads=a.threads)
+        t_idx = time.perf_counter() - t0
+    csize = gcz.stat().st_size + gcx.stat().st_size
+    print(f"INDEX {total / 1e6 / t_idx:.1f} MB/s | .gcz "
+          f"{gcz.stat().st_size / 1e6:.0f} MB + .gcx "
+          f"{gcx.stat().st_size / 1e6:.0f} MB "
+          f"({gcz.stat().st_size * 8 / total:.3f} bit/sym)", flush=True)
+
+    # -- decompress + md5 compare -------------------------------------------
+    back = outdir / "back.fa"
+    if a.cli:
+        t_dec = run_cli(["-i", str(gcz), "-o", str(back), "-t",
+                         str(a.threads), "--backend", a.backend])
+    else:
+        t0 = time.perf_counter()
+        driver.decompress(str(gcz), str(back), backend=a.backend,
+                          threads=a.threads)
+        t_dec = time.perf_counter() - t0
+    print(f"DECODE {total / 1e6 / t_dec:.1f} MB/s", flush=True)
+    got = md5s_of_fasta(back)
+    ok = got == want_md5
+    if not ok:
+        for k in set(want_md5) | set(got):
+            if want_md5.get(k) != got.get(k):
+                print(f"MISMATCH {k}: want {want_md5.get(k)} got {got.get(k)}")
+    print("round trip:", "OK" if ok else "FAILED", flush=True)
+
+    # -- count spot checks ---------------------------------------------------
+    import io
+    for pat, want in checks:
+        t0 = time.perf_counter()
+        if a.cli:
+            r = subprocess.run(
+                [sys.executable, "-m", "gecoz_tpu.cli", "-i", str(gcz),
+                 "-c", pat.decode()], capture_output=True, text=True,
+                check=True)
+            n_hits = sum(int(line.rsplit(" ", 1)[-1].split()[0])
+                         for line in r.stdout.splitlines()
+                         if " found : " in line)
+        else:
+            n_hits = driver.match(str(gcz), None, pat.decode(), False,
+                                  out=io.StringIO())
         dt = time.perf_counter() - t0
         status = "OK" if n_hits == want else f"FAIL want {want}"
-        print(f"count {plen}-mer: {n_hits} ({dt * 1e3:.0f} ms) {status}")
-        if n_hits != want:
-            ok = False
+        print(f"count {len(pat)}-mer: {n_hits} ({dt * 1e3:.0f} ms) {status}",
+              flush=True)
+        ok = ok and n_hits == want
 
-    # ranged extraction across an N boundary
-    src = chroms["chr2"]
-    npos = int(np.flatnonzero(src == ord("N"))[0])
-    lo = max(0, npos - 30)
+    # -- ranged extraction across an N boundary ------------------------------
     seqf = outdir / "range.seq"
-    driver.extract_range(str(gcz), "chr2", lo, lo + 60, str(seqf))
+    driver.extract_range(str(gcz), rkey, rlo, rlo + 60, str(seqf))
     text = open(seqf, "rb").read()
-    if text != src[lo:lo + 60].tobytes():
+    if text != rwant:
         print("range extract FAILED")
         ok = False
     else:
@@ -175,6 +272,8 @@ def main() -> int:
 
     check_ok = driver.check(str(gcz), deep=False)
     print("--check:", "OK" if check_ok else "FAILED")
+    print("LARGE-SCALE CHECK", "PASSED" if ok and check_ok else "FAILED",
+          flush=True)
     return 0 if ok and check_ok else 1
 
 

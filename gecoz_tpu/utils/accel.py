@@ -1,0 +1,59 @@
+"""Accelerator availability probe shared by the auto-backend dispatchers.
+
+The `auto` backend puts the TPU in the flagship path: encode/decode use the
+device tier whenever a *functioning* non-CPU accelerator is attached and
+the work is large enough to amortize dispatch.  The probe runs a trivial
+jit in a subprocess with a timeout because a wedged remote-TPU relay (seen
+in some environments) hangs arbitrary JAX calls — a hung probe must never
+hang the pipeline.  The result is cached for the process lifetime.
+
+Env overrides:
+  GECOZ_ACCEL=1 / 0   force the probe result (skips the subprocess).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_CACHED: bool | None = None
+
+# below this many bytes of work the device tier loses to dispatch latency
+# (~30 ms relay RTT measured on the v5e relay; see ROADMAP.md)
+DEVICE_MIN_BYTES = 32 << 20
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "d = jax.devices()[0];"
+    "assert d.platform != 'cpu', 'cpu-only';"
+    "print(int(jax.jit(lambda a: (a * 2).sum())(jnp.arange(8))))"
+)
+
+
+def accelerator_ok(timeout_s: int = 120, attempts: int = 2,
+                   _refresh: bool = False) -> bool:
+    """True if the default JAX backend is a responsive non-CPU device."""
+    global _CACHED
+    env = os.environ.get("GECOZ_ACCEL")
+    if env is not None:
+        return env not in ("0", "", "false")
+    if _CACHED is not None and not _refresh:
+        return _CACHED
+    ok = False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                ok = True
+                break
+        except subprocess.TimeoutExpired:
+            pass
+    _CACHED = ok
+    return ok
+
+
+def device_worthwhile(nbytes: int) -> bool:
+    """Work is big enough that the device tier beats dispatch latency."""
+    return nbytes >= DEVICE_MIN_BYTES
