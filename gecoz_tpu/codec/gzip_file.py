@@ -16,6 +16,7 @@ the JDK's CRC32 class — the deflate bitstream itself is ours.
 
 from __future__ import annotations
 
+import io
 import struct
 import zlib
 from pathlib import Path
@@ -62,12 +63,16 @@ def parse_member_header(data: bytes, off: int) -> GzipMember:
         p = end
     name = comment = None
     if flg & FNAME:
-        q = data.index(b"\0", p)
-        name = data[p:q].decode("latin-1")
+        q = data.find(b"\0", p)
+        if q < 0:
+            raise ValueError("unterminated gzip FNAME")
+        name = bytes(data[p:q]).decode("latin-1")
         p = q + 1
     if flg & FCOMMENT:
-        q = data.index(b"\0", p)
-        comment = data[p:q].decode("latin-1")
+        q = data.find(b"\0", p)
+        if q < 0:
+            raise ValueError("unterminated gzip FCOMMENT")
+        comment = bytes(data[p:q]).decode("latin-1")
         p = q + 1
     if flg & FHCRC:
         p += 2
@@ -75,12 +80,37 @@ def parse_member_header(data: bytes, off: int) -> GzipMember:
 
 
 class GzipFileReader:
-    """Multi-member gzip/BGZF reader with virtual-offset access."""
+    """Multi-member gzip/BGZF reader with virtual-offset access.
+
+    The compressed input is memory-mapped, not read into RAM — the analog
+    of the reference's 64 MiB mmap windows (FileChannelBitInputStream.java:
+    41-243), with the OS paging exactly the ranges touched.  `inflate_to`
+    streams the decoded output to a file object through a bounded window,
+    so neither side of a large decompression is ever fully resident.
+    """
 
     def __init__(self, path: str | Path):
-        self.data = Path(path).read_bytes()
+        import mmap
+        self._file = open(path, "rb")
+        try:
+            self.data: bytes | mmap.mmap = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:          # empty file
+            self.data = b""
         if self.data[:2] != _MAGIC:
             raise ValueError("not a gzip file")
+
+    def close(self) -> None:
+        if hasattr(self.data, "close"):
+            self.data.close()
+        if hasattr(self, "_file"):
+            self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def read_all(self, verify: bool = True) -> bytes:
         out = bytearray()
@@ -89,6 +119,42 @@ class GzipFileReader:
         while off < n:
             off = self._read_member(off, out, verify)
         return bytes(out)
+
+    def inflate_to(self, out, verify: bool = True) -> int:
+        """Decode every member into binary file object `out`, streaming
+        (native path holds ~1 MiB; whole members never materialize).
+        Returns total decoded bytes."""
+        total = 0
+        off = 0
+        n = len(self.data)
+        while off < n:
+            off, size = self._stream_member(off, out, verify)
+            total += size
+        return total
+
+    def _stream_member(self, off: int, out, verify: bool) -> tuple[int, int]:
+        m = parse_member_header(self.data, off)
+        start = off + m.header_size
+        try:
+            from gecoz_tpu import native
+            if native.available() and hasattr(out, "fileno"):
+                out.flush()
+                size, bits, crc = native.inflate_to_fd(
+                    memoryview(self.data)[start:], out.fileno())
+                p = start + ((bits + 7) >> 3)
+                want_crc, isize = struct.unpack_from("<II", self.data, p)
+                if verify:
+                    if crc != want_crc:
+                        raise ValueError("gzip CRC mismatch")
+                    if size & 0xFFFFFFFF != isize:
+                        raise ValueError("gzip ISIZE mismatch")
+                return p + 8, size
+        except (RuntimeError, OSError, io.UnsupportedOperation):
+            pass
+        buf = bytearray()
+        nxt = self._read_member(off, buf, verify)
+        out.write(buf)
+        return nxt, len(buf)
 
     def _read_member(self, off: int, out: bytearray, verify: bool) -> int:
         m = parse_member_header(self.data, off)

@@ -11,7 +11,6 @@ reserved mmap region is ``len + len/50 + 1`` bytes, FastaFileWriter.java:142).
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator
@@ -34,71 +33,127 @@ class FastaSequence:
         return (-self.length, self.header)
 
 
+# gzipped inputs are inflated exactly ONCE per process into a temp file
+# shared by every scan / read_sequence call (the reference likewise reads
+# gzipped input once, FastaFileReader.java:~70, README.md:39 — our previous
+# per-call re-inflation was O(S*n) on an S-sequence file).  Keyed by
+# (path, mtime, size); bounded to the most recent few inputs.
+_INFLATED_CACHE: dict[tuple, str] = {}
+_INFLATE_COUNT = 0              # test hook: total inflations performed
+_CACHE_LIMIT = 2
+
+
+def _cleanup_inflated() -> None:
+    import os
+    for tmp in _INFLATED_CACHE.values():
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    _INFLATED_CACHE.clear()
+
+
+def _inflated_path(path: Path) -> str:
+    """Temp file holding the fully-inflated bytes of a gzipped input."""
+    global _INFLATE_COUNT
+    import atexit
+    import os
+    import tempfile
+    st = path.stat()
+    key = (str(path.resolve()), st.st_mtime_ns, st.st_size)
+    tmp = _INFLATED_CACHE.get(key)
+    if tmp is not None and Path(tmp).is_file():
+        return tmp
+    from gecoz_tpu.codec.gzip_file import GzipFileReader
+    if not _INFLATED_CACHE:
+        atexit.register(_cleanup_inflated)
+    while len(_INFLATED_CACHE) >= _CACHE_LIMIT:
+        _, old = _INFLATED_CACHE.popitem()
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
+    f = tempfile.NamedTemporaryFile(prefix="gecoz_inflated_", delete=False)
+    try:
+        with GzipFileReader(path) as gz:
+            gz.inflate_to(f)        # streaming: bounded memory both sides
+        f.close()
+    except BaseException:
+        f.close()
+        os.unlink(f.name)
+        raise
+    _INFLATE_COUNT += 1
+    _INFLATED_CACHE[key] = f.name
+    return f.name
+
+
 def _open_maybe_gzip(path: Path):
-    """Return a binary stream; transparently inflates gzip/BGZF input using
-    our own codec (FastaFileReader.java:70-81 trial-open behavior)."""
+    """Return a seekable binary stream of the (possibly inflated) input
+    (FastaFileReader.java:70-81 trial-open behavior)."""
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        from gecoz_tpu.codec.gzip_file import GzipFileReader
-        data = GzipFileReader(path).read_all()
         f.close()
-        return io.BytesIO(data)
+        return open(_inflated_path(path), "rb")
     return f
 
 
 def iter_fasta(path: str | Path, lazy: bool = False) -> Iterator[FastaSequence]:
     """Stream records; with lazy=True sequence bytes are not materialized
-    (headers + positions only), mirroring FastaFileReader's lazy mode."""
+    (headers + positions only), mirroring FastaFileReader's lazy mode.
+
+    Truly streaming: the file is consumed line by line, so peak memory is
+    O(longest line) in lazy mode (plus the current record's bytes when not
+    lazy) — never the whole file.
+    """
     path = Path(path)
     with _open_maybe_gzip(path) as f:
-        data = f.read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        ch = data[pos]
-        if ch not in (ord(">"), ord("@")):
-            pos += 1
-            continue
-        eol = data.find(b"\n", pos)
-        if eol < 0:
-            break
-        header = data[pos + 1:eol].rstrip(b"\r").decode()
-        pos = eol + 1
-        seq_start = pos
-        lines = 0
-        chunks = []
+        pos = 0
+        header: str | None = None
+        seq_start = 0
+        chunks: list[bytes] = []
         length = 0
-        while pos < n and data[pos] not in (ord(">"), ord("@"), ord("+")):
-            eol = data.find(b"\n", pos)
-            if eol < 0:
-                eol = n
-            line = data[pos:eol].rstrip(b"\r")
-            if line:
-                lines += 1
-                length += len(line)
-                if not lazy:
-                    chunks.append(line)
-            pos = eol + 1
-        if pos < n and data[pos] == ord("+"):
-            # FASTQ: skip the quality block (same #bytes as the sequence)
-            eol = data.find(b"\n", pos)
-            pos = eol + 1 if eol >= 0 else n
-            qlen = 0
-            qlines = 0
-            while pos < n and (qlen < length and qlines < lines):
-                eol = data.find(b"\n", pos)
-                if eol < 0:
-                    eol = n
-                qlen += len(data[pos:eol].rstrip(b"\r"))
-                qlines += 1
-                pos = eol + 1
-        seq = None
-        if not lazy:
-            seq = np.frombuffer(b"".join(chunks), dtype=np.uint8)
-        yield FastaSequence(header=header, length=length, position=seq_start,
-                            multiline=lines > 1, data=seq)
+        lines = 0
+
+        def record() -> FastaSequence:
+            data = None
+            if not lazy:
+                data = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+            return FastaSequence(header=header, length=length,
+                                 position=seq_start, multiline=lines > 1,
+                                 data=data)
+
+        line = f.readline()
+        while line:
+            pos += len(line)
+            mark = line[:1]
+            if mark in (b">", b"@"):
+                if header is not None:
+                    yield record()
+                header = line[1:].rstrip(b"\r\n").decode()
+                seq_start = pos
+                chunks, length, lines = [], 0, 0
+            elif mark == b"+" and header is not None:
+                # FASTQ: skip the quality block (same #bytes as sequence)
+                qlen = qlines = 0
+                line = f.readline()
+                while line and qlen < length and qlines < lines:
+                    pos += len(line)
+                    qlen += len(line.rstrip(b"\r\n"))
+                    qlines += 1
+                    line = f.readline()
+                continue                  # `line` not yet consumed/counted
+            elif header is not None:
+                s = line.rstrip(b"\r\n")
+                if s:
+                    lines += 1
+                    length += len(s)
+                    if not lazy:
+                        chunks.append(s)
+            line = f.readline()
+        if header is not None:
+            yield record()
 
 
 def read_sequence(path: str | Path, seq: FastaSequence) -> np.ndarray:

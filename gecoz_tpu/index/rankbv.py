@@ -263,13 +263,33 @@ class RankBitVector:
 
     def select1(self, n):
         """Position of the n'th one bit (1-based), -1 if out of range
-        (RankedWTNode.findOne semantics)."""
+        (RankedWTNode.findOne:145-194 semantics).
+
+        Superblock-guided, O(log(n/512) + 64) per query and fully
+        vectorized over a batch — the host analog of the reference's
+        interpolation-guided binary search (and of the device word search
+        in ops/fmq.py::_row_with_sa), replacing the old O(n) flatnonzero.
+        """
+        self._ensure()
         n = np.asarray(n, dtype=np.int64)
-        ones_pos = np.flatnonzero(unpack_bits(self.data, self.length))
-        res = np.full(n.shape, -1, dtype=np.int64)
-        ok = (n >= 1) & (n <= len(ones_pos))
-        res[ok] = ones_pos[n[ok] - 1]
-        return res
+        scalar = n.ndim == 0
+        n = np.atleast_1d(n)
+        total = self.super_ranks[-1]
+        ok = (n >= 1) & (n <= total)
+        t = np.where(ok, n, 1)
+        # 512-bit group holding the target one
+        g = np.searchsorted(self.super_ranks, t, side="left") - 1
+        g = np.clip(g, 0, len(self.super_ranks) - 2)
+        within = t - self.super_ranks[g]                 # 1-based in group
+        # word within the group: last word whose prefix < within
+        w = (self.word_prefix[g] < within[:, None]).sum(axis=1) - 1
+        k = within - self.word_prefix[g, w]              # 1-based in word
+        word = self.words[g * 8 + w]
+        bits = (word[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        cum = np.cumsum(bits.astype(np.int64), axis=1)
+        bitpos = np.argmax(cum == k[:, None], axis=1)
+        res = np.where(ok, (g << 9) + (w << 6) + bitpos, -1)
+        return res[0] if scalar else res
 
     def serialize(self) -> bytes:
         if self._raw is not None and self._data is None:

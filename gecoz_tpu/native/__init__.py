@@ -51,6 +51,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.gecoz_deflate.restype = ctypes.c_int64
+        lib.gecoz_inflate_fd.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32)]
+        lib.gecoz_inflate_fd.restype = ctypes.c_int64
         lib.gecoz_fm_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
@@ -148,6 +152,29 @@ def inflate(data: np.ndarray | bytes, out_cap: int) -> tuple[bytes, int]:
     if n < 0:
         raise ValueError("corrupt deflate stream")
     return out[:n].tobytes(), int(consumed.value)
+
+
+def inflate_to_fd(data, fd: int) -> tuple[int, int, int]:
+    """Streaming inflate of one deflate stream into a file descriptor.
+
+    Holds only a ~1 MiB working buffer (32 KiB history kept resident) —
+    whole-file gzip members never materialize.  Returns
+    (output_size, consumed_bits, crc32)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = (np.frombuffer(data, dtype=np.uint8)
+           if not isinstance(data, np.ndarray)
+           else np.ascontiguousarray(data, dtype=np.uint8))
+    consumed = ctypes.c_int64(0)
+    crc = ctypes.c_uint32(0)
+    n = lib.gecoz_inflate_fd(_u8ptr(src), len(src), fd,
+                             ctypes.byref(consumed), ctypes.byref(crc))
+    if n == -3:
+        raise OSError("write failed during streaming inflate")
+    if n < 0:
+        raise ValueError("corrupt deflate stream")
+    return int(n), int(consumed.value), int(crc.value)
 
 
 def deflate(data: np.ndarray | bytes) -> bytes:

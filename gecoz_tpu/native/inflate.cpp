@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -214,6 +215,162 @@ int64_t gecoz_inflate(const uint8_t* src, int64_t src_len,
   }
   if (consumed_bits) *consumed_bits = in.bit_position();
   return w;
+}
+
+// Streaming inflate: decoded bytes are written to `fd` as they are
+// produced, holding only a ring-like buffer (32 KiB history + working
+// room) — the native analog of the reference's windowed InflaterOutput
+// (InflaterOutput.java's 32 KiB ring), so whole-file gzip members never
+// materialize in memory.  Returns total output size, -1 on stream error,
+// -3 on a write error.  *consumed_bits gets the bit position after the
+// final block; *crc_out the CRC32 of the output (for the gzip footer).
+int64_t gecoz_inflate_fd(const uint8_t* src, int64_t src_len, int fd,
+                         int64_t* consumed_bits, uint32_t* crc_out);
+
+namespace {
+
+// CRC32 (IEEE, reflected) — small table, computed once
+struct Crc32 {
+  uint32_t table[256];
+  Crc32() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+  }
+  uint32_t update(uint32_t crc, const uint8_t* p, int64_t n) const {
+    crc = ~crc;
+    for (int64_t i = 0; i < n; ++i)
+      crc = table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+    return ~crc;
+  }
+};
+const Crc32 kCrc;
+
+struct OutFd {
+  int fd;
+  std::vector<uint8_t> buf;
+  int64_t w = 0;         // write position within buf
+  int64_t total = 0;
+  uint32_t crc = 0;
+  bool err = false;
+
+  explicit OutFd(int fd_) : fd(fd_), buf(1 << 20) {}
+
+  void drain(int64_t keep) {
+    int64_t out_n = w - keep;
+    if (out_n <= 0) return;
+    crc = kCrc.update(crc, buf.data(), out_n);
+    int64_t done = 0;
+    while (done < out_n) {
+      ssize_t r = ::write(fd, buf.data() + done, (size_t)(out_n - done));
+      if (r <= 0) { err = true; return; }
+      done += r;
+    }
+    std::memmove(buf.data(), buf.data() + out_n, (size_t)keep);
+    w = keep;
+  }
+  // ensure room for one more emit (max match 258); keep 32 KiB history
+  void make_room() {
+    if (w + 300 > (int64_t)buf.size()) drain(32768);
+  }
+  void put(uint8_t b) { buf[w++] = b; total++; }
+};
+
+}  // namespace
+
+int64_t gecoz_inflate_fd(const uint8_t* src, int64_t src_len, int fd,
+                         int64_t* consumed_bits, uint32_t* crc_out) {
+  BitIn in{src, src_len};
+  OutFd out(fd);
+  for (;;) {
+    uint32_t bfinal = in.read(1);
+    uint32_t btype = in.read(2);
+    if (btype == 0) {
+      in.align();
+      uint32_t len = in.read(16);
+      uint32_t nlen = in.read(16);
+      if ((len ^ 0xFFFF) != nlen) return -1;
+      for (uint32_t i = 0; i < len; ++i) {
+        out.make_room();
+        if (out.err) return -3;
+        out.put((uint8_t)in.read(8));
+      }
+    } else if (btype == 1 || btype == 2) {
+      Huff lit, dist;
+      if (btype == 1) {
+        uint8_t ll[288], dl[30];
+        for (int i = 0; i < 144; ++i) ll[i] = 8;
+        for (int i = 144; i < 256; ++i) ll[i] = 9;
+        for (int i = 256; i < 280; ++i) ll[i] = 7;
+        for (int i = 280; i < 288; ++i) ll[i] = 8;
+        for (int i = 0; i < 30; ++i) dl[i] = 5;
+        lit.build(ll, 288);
+        dist.build(dl, 30);
+      } else {
+        uint32_t hlit = in.read(5) + 257;
+        uint32_t hdist = in.read(5) + 1;
+        uint32_t hclen = in.read(4) + 4;
+        uint8_t cl[19] = {0};
+        for (uint32_t i = 0; i < hclen; ++i)
+          cl[CL_ORDER[i]] = (uint8_t)in.read(3);
+        Huff clh;
+        if (!clh.build(cl, 19)) return -1;
+        std::vector<uint8_t> lens(hlit + hdist, 0);
+        uint32_t i = 0;
+        uint8_t prev = 0;
+        while (i < hlit + hdist) {
+          int sym = clh.decode(in);
+          if (sym < 0) return -1;
+          if (sym <= 15) { lens[i++] = prev = (uint8_t)sym; }
+          else if (sym == 16) {
+            uint32_t rep = in.read(2) + 3;
+            while (rep-- && i < lens.size()) lens[i++] = prev;
+          } else if (sym == 17) { i += in.read(3) + 3; prev = 0; }
+          else { i += in.read(7) + 11; prev = 0; }
+        }
+        if (!lit.build(lens.data(), hlit)) return -1;
+        dist.build(lens.data() + hlit, hdist);
+      }
+      for (;;) {
+        int sym = lit.decode(in);
+        if (sym < 0) return -1;
+        if (sym < 256) {
+          out.make_room();
+          if (out.err) return -3;
+          out.put((uint8_t)sym);
+        } else if (sym == 256) {
+          break;
+        } else {
+          int li = sym - 257;
+          if (li >= 29) return -1;
+          uint32_t length = LEN_BASE[li] + in.read(LEN_EXTRA[li]);
+          int ds = dist.decode(in);
+          if (ds < 0 || ds >= 30) return -1;
+          uint32_t d = DIST_BASE[ds] + in.read(DIST_EXTRA[ds]);
+          if ((int64_t)d > out.total) return -1;
+          out.make_room();
+          if (out.err) return -3;
+          if ((int64_t)d > out.w) return -1;   // history drained too far
+          const uint8_t* s = out.buf.data() + out.w - d;
+          uint8_t* dptr = out.buf.data() + out.w;
+          for (uint32_t i = 0; i < length; ++i) dptr[i] = s[i];
+          out.w += length;
+          out.total += length;
+        }
+      }
+    } else {
+      return -1;
+    }
+    if (bfinal) break;
+  }
+  out.drain(0);
+  if (out.err) return -3;
+  if (consumed_bits) *consumed_bits = in.bit_position();
+  if (crc_out) *crc_out = out.crc;
+  return out.total;
 }
 
 }  // extern "C"

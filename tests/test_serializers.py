@@ -45,6 +45,24 @@ def test_rbv_rank_select(n, rng):
     assert bv.select1(np.array([len(ones) + 1]))[0] == -1
 
 
+def test_select1_superblock_guided_large(rng):
+    """select1 at >=100M bits (sparse), vs the known one positions —
+    exercises the superblock + word search across 64Kbit segments
+    (RankedWTNode.findOne:145-194 scale)."""
+    from gecoz_tpu.index.rankbv import RankBitVector
+    length = 100_000_019
+    ones = np.unique(rng.integers(0, length, size=30_000))
+    packed = np.zeros((length + 7) >> 3, dtype=np.uint8)
+    np.bitwise_or.at(packed, ones >> 3, (1 << (ones & 7)).astype(np.uint8))
+    bv = RankBitVector(packed, length)
+    qs = np.unique(rng.integers(1, len(ones) + 1, size=512))
+    assert np.array_equal(bv.select1(qs), ones[qs - 1])
+    assert bv.select1(1) == ones[0]
+    assert bv.select1(len(ones)) == ones[-1]
+    assert bv.select1(len(ones) + 1) == -1
+    assert np.array_equal(bv.rank1_inclusive(ones[qs - 1]), qs)
+
+
 @pytest.mark.parametrize("n", [1, 511, 513, 65537, 70000])
 def test_rbv_native_and_numpy_paths_agree(n, rng, monkeypatch):
     """The C++ interleaver and the pure-numpy fallback are independent
