@@ -289,22 +289,43 @@ class Deflater:
             out.write(int(lit.codes[256]), int(lit.bit_lengths[256]))
             return out
         for off in range(0, n, _WINDOW):
-            chunk = data[off:off + _WINDOW]
+            # 64 KiB double window sliding 32 KiB (DeflaterOutputStream.java):
+            # the previous window rides along as match history, so matches
+            # reach across block boundaries like the reference's (and
+            # zlib's) persistent 32 KiB dictionary
+            hist = max(0, off - _WINDOW)
+            buf = data[hist:off + _WINDOW]
             last = bfinal and off + _WINDOW >= n
-            self._deflate_window(chunk, out, last)
+            self._deflate_window(buf, off - hist, out, last)
         return out
 
-    def _deflate_window(self, data: bytes, out: BitWriter,
+    def _deflate_window(self, data: bytes, start: int, out: BitWriter,
                         bfinal: bool) -> None:
+        """Encode data[start:] as one dynamic block; data[:start] is match
+        history only (already emitted by the previous block)."""
         window = np.frombuffer(data, dtype=np.uint8)
         n = len(window)
-        finder = _find_matches_sa if self.matcher == "sa" \
-            else _find_matches_hash
-        mlen, mdist = finder(window)
+        if self.matcher == "sa":
+            mlen, mdist = _find_matches_sa(window)
+            # deflate distances are capped at 32 KiB; the 64 KiB double
+            # window can propose farther sources.  The LPF neighbors are
+            # nearest-by-position on each SA side, so when both are out of
+            # range a legal occurrence may still exist — fall back to the
+            # hash matcher's most-recent-occurrence candidate there.
+            far = mdist > _WINDOW
+            if far.any():
+                hlen, hdist = _find_matches_hash(window)
+                # short noisy substitutes lose to literals + table pressure
+                use = far & (hlen >= 6)
+                mlen = np.where(use, hlen, np.where(far, 0, mlen))
+                mdist = np.where(use, hdist, mdist)
+        else:
+            mlen, mdist = _find_matches_hash(window)
+            mlen = np.where(mdist > _WINDOW, 0, mlen)
 
         # tokenize (greedy, or lazy when the next position matches longer)
         toks = []                            # (is_match, a, b)
-        i = 0
+        i = start
         while i < n:
             l = int(mlen[i])
             if l >= _MIN_MATCH:
@@ -318,28 +339,68 @@ class Deflater:
                 toks.append((False, int(window[i]), 0))
                 i += 1
 
-        # histograms
-        lit_counts = np.zeros(286, dtype=np.int64)
-        dist_counts = np.zeros(30, dtype=np.int64)
+        def tables_of(tokens):
+            lit_counts = np.zeros(286, dtype=np.int64)
+            dist_counts = np.zeros(30, dtype=np.int64)
+            for is_m, a, b in tokens:
+                if is_m:
+                    lit_counts[257 + _length_code(a)] += 1
+                    dist_counts[_dist_code(b)] += 1
+                else:
+                    lit_counts[a] += 1
+            lit_counts[256] += 1
+            lit = DeflateCodeTable.from_counts(lit_counts, 15)
+            # every dist table needs >= 1 code; RFC allows 1 code of len 1
+            if dist_counts.sum() == 0:
+                dist_counts[0] = 1
+            dist = DeflateCodeTable.from_counts(dist_counts, 15)
+            return lit, dist
+
+        lit, dist = tables_of(toks)
+
+        # final-table gain re-check (Deflater.java ~150-190 "check if there
+        # is no gain"): with the actual dynamic code lengths known, a match
+        # whose emitted bits meet or exceed its bytes spelled as literals is
+        # expanded back to literals; tables are then rebuilt from the final
+        # token stream so the emitted header matches the emitted symbols.
+        def lit_cost(bl, byte):
+            c = int(bl[byte])
+            return c if c > 0 else 15        # unassigned -> pessimistic
+        expanded = []
+        changed = False
+        pos = start
+        litbl = lit.bit_lengths
+        for is_m, a, b in toks:
+            if is_m:
+                lc = _length_code(a)
+                dc = _dist_code(b)
+                mcost = (int(litbl[257 + lc]) + LEN_EXTRA[lc]
+                         + int(dist.bit_lengths[dc]) + DIST_EXTRA[dc])
+                lcost = sum(lit_cost(litbl, int(window[pos + k]))
+                            for k in range(a))
+                if lcost <= mcost:
+                    expanded.extend(
+                        (False, int(window[pos + k]), 0) for k in range(a))
+                    changed = True
+                else:
+                    expanded.append((True, a, b))
+                pos += a
+            else:
+                expanded.append((False, a, b))
+                pos += 1
+        if changed:
+            toks = expanded
+            lit, dist = tables_of(toks)
+
         sym_seq = []
         for is_m, a, b in toks:
             if is_m:
                 lc = _length_code(a)
                 dc = _dist_code(b)
-                lit_counts[257 + lc] += 1
-                dist_counts[dc] += 1
                 sym_seq.append((257 + lc, a - LEN_BASE[lc], LEN_EXTRA[lc],
                                 dc, b - DIST_BASE[dc], DIST_EXTRA[dc]))
             else:
-                lit_counts[a] += 1
                 sym_seq.append((a, 0, 0, -1, 0, 0))
-        lit_counts[256] += 1
-
-        lit = DeflateCodeTable.from_counts(lit_counts, 15)
-        # every dist table needs >= 1 code; RFC allows 1 code of len 1
-        if dist_counts.sum() == 0:
-            dist_counts[0] = 1
-        dist = DeflateCodeTable.from_counts(dist_counts, 15)
 
         self._write_dynamic_header(out, lit, dist, bfinal)
         for sym, extra, ebits, dsym, dextra, debits in sym_seq:

@@ -38,6 +38,34 @@ def test_deflate_roundtrip_and_zlib_interop(matcher, corpora):
         assert zlib.decompress(comp, wbits=-15) == data
 
 
+def test_deflate_ratio_near_zlib9(rng):
+    """Compression-ratio parity (BASELINE.md target 1's deflate-path data
+    point): the SA matcher + final-table gain re-check lands within a few
+    percent of zlib level 9 on DNA, text and binary corpora
+    (Deflater.java ~150-190 gain model, LZ77.java SA matcher)."""
+    def raw_zlib(data, level):
+        c = zlib.compressobj(level, zlib.DEFLATED, -15)
+        return c.compress(data) + c.flush()
+
+    words = (b"the quick brown fox jumps over the lazy dog and then some "
+             b"more lorem ipsum dolor sit amet consectetur adipiscing elit ")
+    binry = bytearray()
+    while len(binry) < 96 * 1024:
+        binry += bytes(rng.integers(0, 256, size=64,
+                                    dtype=np.uint8)) * 3 + b"\x00" * 32
+    corpora = {
+        "dna": bytes(random_dna(rng, 96 * 1024)),
+        "text": bytes((words * 900)[:96 * 1024]),
+        "binary": bytes(binry[:96 * 1024]),
+    }
+    for name, data in corpora.items():
+        ours = deflate_bytes(data, "sa")
+        assert inflate_bytes(ours) == data, name
+        z9 = len(raw_zlib(data, 9))
+        assert len(ours) <= z9 * 1.10, \
+            f"{name}: {len(ours)} vs zlib9 {z9} ({len(ours) / z9:.3f}x)"
+
+
 def test_inflate_zlib_streams(corpora):
     for level in (1, 9):
         for data in corpora:
