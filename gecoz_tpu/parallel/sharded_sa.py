@@ -1,0 +1,248 @@
+"""Sharded suffix sort: blocks larger than one chip's HBM.
+
+This is the explicit in-block 'seq'-axis distribution (SURVEY §5
+long-context: the reference's analogous limit is the int32 SA,
+SAIS.java:103).  GSPMD does NOT distribute `lax.sort` along the sorted
+dimension — it all-gathers the operands onto every device (verified: a
+sharded 4 MiB sort compiles to per-device temp == the full array), so a
+suffix sort whose working set exceeds one chip's HBM needs a hand-authored
+distributed sort.  Everything here is `shard_map` over a 1-D device axis;
+per-device memory is O(n / D) with only
+  * full-shard neighbor exchanges (`ppermute`, rides the ICI ring),
+  * [1]-element boundary fetches, and
+  * [D]-element all-gathers of per-shard scalars
+as communication.
+
+Algorithm
+---------
+* Distributed sort = odd-even transposition over device blocks: each
+  device keeps its shard locally sorted; D rounds of pairwise
+  exchange-merge-split (pair sorts 2L elements, low rank keeps the lower
+  half) yield a globally sorted, block-distributed array (block-level 0-1
+  principle).  All shifts and permutation-scatters are expressed as
+  value-carrying sorts — the same "sorts instead of random HBM access"
+  stance as the single-chip kernels (ops/sa_device.py).
+* Suffix array = prefix doubling over the sharded sort: dense-packed
+  k-mer seeding, then rounds of sort-by-(rank, rank[i+k]) + global
+  re-ranking (local cumsum + D-scalar exclusive prefix), until ranks are
+  distinct.  The BWT rides the final sort as a value operand.
+
+The single-chip path (ops/sa_device.py) stays optimal for blocks that fit
+one device; this module is the capacity escape hatch and the multi-chip
+scaling axis.  NB prefix doubling pays ~log2(longest equal-symbol run)
+extra rounds; the run-key seeding of the single-chip kernel is not yet
+ported to the sharded path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+# -- collective building blocks (inside shard_map) ---------------------------
+
+def _prev_last(x: jax.Array, axis: str, D: int, fill) -> jax.Array:
+    """[1]: previous device's last element (device 0 gets `fill`)."""
+    got = jax.lax.ppermute(x[-1:], axis, [(i, i + 1) for i in range(D - 1)])
+    idx = jax.lax.axis_index(axis)
+    return jnp.where(idx == 0, jnp.full((1,), fill, x.dtype), got)
+
+
+def _next_head(x: jax.Array, t: int, axis: str, D: int, fill) -> jax.Array:
+    """[t]: next device's first t elements (last device gets `fill`)."""
+    got = jax.lax.ppermute(x[:t], axis, [(i + 1, i) for i in range(D - 1)])
+    idx = jax.lax.axis_index(axis)
+    return jnp.where(idx == D - 1, jnp.full((t,), fill, x.dtype), got)
+
+
+def _shift_small(x: jax.Array, t: int, axis: str, D: int, fill) -> jax.Array:
+    """x[i + t] with `fill` past the global end; static t < L."""
+    if t == 0:
+        return x
+    return jnp.concatenate([x[t:], _next_head(x, t, axis, D, fill)])
+
+
+def _global_cumsum(x: jax.Array, axis: str, D: int) -> jax.Array:
+    """Inclusive cumsum over the global (concatenated) array."""
+    loc = jnp.cumsum(x)
+    totals = jax.lax.all_gather(loc[-1:], axis).reshape(D)
+    idx = jax.lax.axis_index(axis)
+    prefix = jnp.sum(jnp.where(jnp.arange(D) < idx, totals, 0))
+    return loc + prefix
+
+
+def sorted_sharded(operands: tuple, num_keys: int, axis: str,
+                   D: int) -> tuple:
+    """Globally sort equally-sharded operands; result block-distributed
+    (device d holds global slice [d*L, (d+1)*L)).
+
+    Odd-even transposition over blocks: D rounds of neighbor
+    exchange-merge-split after a local sort.  Communication = D full-shard
+    ppermutes — nearest-neighbor only, the ICI-friendly pattern.
+
+    REQUIREMENT: the first `num_keys` operands must form a globally
+    DISTINCT total order.  The two sides of an exchange merge the same
+    multiset in different concatenation orders; with tied keys their
+    stable sorts route tied elements differently, so one side's lower
+    half and the other's upper half can double-keep / drop an element.
+    Callers append a unique tiebreaker (the position) as the last key.
+    """
+    ops = jax.lax.sort(operands, num_keys=num_keys)
+    if D == 1:
+        return ops
+    L = ops[0].shape[0]
+    idx = jax.lax.axis_index(axis)
+    for rnd in range(D):
+        if rnd % 2 == 0:
+            pairs = [(i, i + 1) for i in range(0, D - 1, 2)]
+        else:
+            pairs = [(i, i + 1) for i in range(1, D - 1, 2)]
+        perm = []
+        for a, b in pairs:
+            perm += [(a, b), (b, a)]
+        lo = jnp.zeros((), jnp.bool_)
+        hi = jnp.zeros((), jnp.bool_)
+        for a, b in pairs:
+            lo = lo | (idx == a)
+            hi = hi | (idx == b)
+        recv = tuple(jax.lax.ppermute(a, axis, perm) for a in ops)
+        cat = tuple(jnp.concatenate([a, r]) for a, r in zip(ops, recv))
+        merged = jax.lax.sort(cat, num_keys=num_keys)
+        ops = tuple(
+            jnp.where(lo, m[:L], jnp.where(hi, m[L:], o))
+            for m, o in zip(merged, ops))
+    return ops
+
+
+# -- suffix-array building blocks ---------------------------------------------
+
+def _shift_k(rank: jax.Array, k, ig: jax.Array, n: int, axis: str,
+             D: int) -> jax.Array:
+    """rank[i + k] with -1 past the global end; traced k.
+
+    One value-carrying global sort: element at global position i travels
+    to position i - k (dropped elements get keys past every kept key).
+    """
+    key = jnp.where(ig >= k, ig - k, n + ig).astype(jnp.int32)
+    _, moved = sorted_sharded((key, rank), 1, axis, D)
+    return jnp.where(ig < n - k, moved, jnp.int32(-1))
+
+
+def _sort_rerank(key1, key2, pos, sprev, n: int, axis: str, D: int):
+    """Sort suffixes by (key1, key2, pos) — pos is the distinctness
+    tiebreaker, making the whole pipeline effectively stable; dense
+    re-rank ignores it.  Returns (rank_by_position, sa_in_rank_order,
+    bwt_in_rank_order, all_distinct)."""
+    k1s, k2s, pos_s, bwt = sorted_sharded((key1, key2, pos, sprev), 3,
+                                          axis, D)
+    p1 = _prev_last(k1s, axis, D, jnp.int32(-(2 ** 31) + 1))
+    p2 = _prev_last(k2s, axis, D, jnp.int32(-(2 ** 31) + 1))
+    prev1 = jnp.concatenate([p1, k1s[:-1]])
+    prev2 = jnp.concatenate([p2, k2s[:-1]])
+    new_group = ((k1s != prev1) | (k2s != prev2)).astype(jnp.int32)
+    ranks_sorted = _global_cumsum(new_group, axis, D) - 1
+    done = jax.lax.pmax(ranks_sorted[-1], axis) == n - 1
+    # ranks back to position order: one more value-carrying sort
+    _, rank_pos = sorted_sharded((pos_s, ranks_sorted), 1, axis, D)
+    return rank_pos, pos_s, bwt, done
+
+
+# -- the jitted sharded kernel -------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "symbols"))
+def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
+                              mesh: Mesh, axis: str,
+                              symbols: tuple[int, ...]):
+    """Padded input [n] (multiple of D, sharded along `axis`) ->
+    (sa, bwt), both in suffix-rank order, block-distributed.
+
+    Positions >= n_real are padding and read as code 0 (below every real
+    symbol), so they occupy the first n - n_real rank slots in descending
+    position order; the host wrapper strips them.
+    """
+    n = s.shape[0]
+    D = mesh.shape[axis]
+    table = np.zeros(256, dtype=np.int32)
+    for i, sym in enumerate(sorted(symbols)):
+        table[sym] = i + 1
+    bits = max(1, len(symbols).bit_length())
+    chars_per = max(1, 31 // bits)
+    table_d = jnp.asarray(table)
+
+    def kernel(s_l, n_real_l):
+        L = s_l.shape[0]
+        idx = jax.lax.axis_index(axis)
+        ig = idx * L + jnp.arange(L, dtype=jnp.int32)   # global positions
+        n_r = n_real_l[0]
+        codes = jnp.where(ig < n_r, table_d[s_l.astype(jnp.int32)], 0)
+        # BWT source: previous byte, cyclic over the REAL text
+        s32 = s_l.astype(jnp.int32)
+        p = _prev_last(s32, axis, D, 0)
+        sp = jnp.concatenate([p, s32[:-1]])
+        last_real = jax.lax.pmax(
+            jnp.max(jnp.where(ig == n_r - 1, s32, -1)), axis)
+        sprev = jnp.where(ig == 0, last_real, sp)
+
+        # k-mer seed rank: pack chars_per dense codes into one int31 word
+        rank = jnp.zeros(L, dtype=jnp.int32)
+        for t in range(chars_per):
+            rank = (rank << bits) | _shift_small(codes, min(t, L - 1),
+                                                 axis, D, jnp.int32(0))
+        zeros = jnp.zeros(L, jnp.int32)
+        rank, sa_k, bwt_k, done = _sort_rerank(rank, zeros, ig, sprev,
+                                               n, axis, D)
+
+        def body(state):
+            rank, sa_k, bwt_k, k, _ = state
+            r2 = _shift_k(rank, k, ig, n, axis, D)
+            rank, sa_k, bwt_k, done = _sort_rerank(rank, r2, ig, sprev,
+                                                   n, axis, D)
+            return rank, sa_k, bwt_k, k * 2, done
+
+        def cond(state):
+            _, _, _, k, done = state
+            return jnp.logical_and(~done, k < 2 * n)
+
+        _, sa_k, bwt_k, _, _ = jax.lax.while_loop(
+            cond, body, (rank, sa_k, bwt_k, jnp.int32(chars_per), done))
+        return sa_k, bwt_k.astype(jnp.uint8)
+
+    fn = shard_map(kernel, mesh=mesh,
+                   in_specs=(P(axis), P(None)),
+                   out_specs=(P(axis), P(axis)))
+    return fn(s, n_real)
+
+
+def suffix_array_sharded(s, mesh: Mesh | None = None, axis: str = "seq",
+                         symbols: tuple[int, ...] | None = None):
+    """Host entry: suffix array + BWT of `s` over a device mesh.
+
+    Returns (sa, bwt) as device arrays of length len(s), block-sharded
+    along `axis` (suffix-rank order).  Use for blocks whose 10-20x int32
+    working set exceeds one device; smaller blocks are faster on the
+    single-chip kernel.
+    """
+    s = np.asarray(s, dtype=np.uint8)
+    n = len(s)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, (axis,))
+    D = mesh.shape[axis]
+    if symbols is None:
+        symbols = tuple(int(x) for x in np.unique(s))
+    pad = (-n) % D
+    padded = np.concatenate([s, np.zeros(pad, np.uint8)])
+    sh = NamedSharding(mesh, P(axis))
+    s_d = jax.device_put(jnp.asarray(padded), sh)
+    n_real = jnp.asarray([n], dtype=jnp.int32)
+    sa, bwt = _suffix_array_sharded_jit(s_d, n_real, mesh=mesh, axis=axis,
+                                        symbols=symbols)
+    if pad:
+        sa, bwt = sa[pad:], bwt[pad:]       # strip the padding rank slots
+    return sa, bwt

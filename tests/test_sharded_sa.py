@@ -1,0 +1,96 @@
+"""Sharded suffix sort over the 8-virtual-device CPU mesh.
+
+Validates the explicit 'seq'-axis distribution (SURVEY §5 long-context;
+the escape hatch for blocks above one chip's HBM): bit-exactness vs the
+native SA-IS, and — via compiled-HLO + memory analysis — that the arrays
+actually STAY sharded (GSPMD's sort handling would all-gather; the
+hand-authored odd-even transposition sort must not)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gecoz_tpu.ops.sa import bwt_from_sa, suffix_array
+from gecoz_tpu.parallel.sharded_sa import (_suffix_array_sharded_jit,
+                                           sorted_sharded,
+                                           suffix_array_sharded)
+
+
+def _dna(rng, n, runs=True):
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    if runs:
+        s[n // 3:n // 3 + n // 50] = ord("N")     # a long run
+    cuts = np.sort(rng.choice(np.arange(1, n - 1), size=3, replace=False))
+    s[cuts] = 0
+    s[-1] = 0
+    return s
+
+
+def test_sorted_sharded_ties_and_values(rng):
+    """Distributed sort: globally sorted keys, values routed with their
+    keys, ties broken by the position key (the distinctness contract)."""
+    from jax.experimental.shard_map import shard_map
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    n = 1 << 14
+    k = rng.integers(0, 37, size=n).astype(np.int32)      # heavy ties
+    pos = np.arange(n, dtype=np.int32)
+
+    def kern(a, p):
+        return sorted_sharded((a, p, p * 2), 2, "x", 8)
+
+    f = jax.jit(shard_map(kern, mesh=mesh, in_specs=(P("x"), P("x")),
+                          out_specs=(P("x"),) * 3))
+    ks, ps, vs = [np.asarray(x) for x in f(jnp.asarray(k), jnp.asarray(pos))]
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(ks, k[order])
+    assert np.array_equal(ps, pos[order])      # stable via the pos key
+    assert np.array_equal(vs, ps * 2)          # values ride along
+
+
+@pytest.mark.parametrize("n", [777, 4096, 1 << 20])
+def test_sharded_sa_bit_exact(rng, n):
+    s = _dna(rng, n)
+    sa, bwt = suffix_array_sharded(s)
+    want = suffix_array(s, backend="auto")
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+
+
+def test_sharded_sa_not_multiple_of_devices(rng):
+    s = _dna(rng, 10_007)                       # forces padding
+    sa, _ = suffix_array_sharded(s)
+    assert np.array_equal(np.asarray(sa), suffix_array(s, backend="auto"))
+
+
+@pytest.mark.slow
+def test_sharded_sa_8mib_stays_sharded(rng):
+    """The VERDICT-scale proof: an 8 MiB block across 8 devices — shards
+    meaningfully partial — bit-exact, with per-device memory O(n/D):
+    no full-size all-gather in the compiled HLO and bounded temp."""
+    n = 1 << 23
+    s = _dna(rng, n, runs=False)                # random DNA: few rounds
+    sa, bwt = suffix_array_sharded(s)
+    want = suffix_array(s, backend="auto")
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    symbols = tuple(int(x) for x in np.unique(s))
+    comp = _suffix_array_sharded_jit.lower(
+        jax.ShapeDtypeStruct((n,), jnp.uint8),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        mesh=mesh, axis="seq", symbols=symbols).compile()
+    txt = comp.as_text()
+    big_gathers = [l for l in txt.splitlines()
+                   if "all-gather" in l and re.search(r"[su]\d+\[\d{7,}", l)]
+    assert not big_gathers, big_gathers[:3]
+    mem = comp.memory_analysis()
+    # an all-gathered pipeline would put the full ~10-array int32 working
+    # set (>= 40n bytes) on EVERY device (measured: GSPMD lax.sort gathers
+    # the whole operand per device); the sharded kernel's per-device temp
+    # is ~n (8 shards x ~8 int32 arrays x n/8) — assert the separation
+    assert mem.temp_size_in_bytes < 16 * n, mem.temp_size_in_bytes
