@@ -149,11 +149,48 @@ def main() -> None:
     print(f"# search: {qps:.2f} Mqueries/s ({L}-mers), "
           f"{t_search*1e3:.1f} ms/batch", file=sys.stderr)
 
+    # large-block point: same pipeline at a size where dispatch RTT is
+    # negligible (<2% of the measure) — the scale the reference was built
+    # for (chr1-class blocks).  Skipped on the CPU fallback (the device
+    # pipeline's sort cascade is not the CPU algorithm of record).
+    large_extra = {}
+    ln = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 26   # 64 MiB
+    if platform != "cpu-fallback" and ln > n:
+        ldata = synth_dna(ln, seed=11)
+        ld = jax.device_put(jnp.asarray(ldata), dev)
+        t0 = time.perf_counter()
+        int(np.asarray(index_ck(ld)))
+        print(f"# large index compile+run: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        t_lindex = timeit(index_ck, ld, repeat=2)
+        lmbps_index = ln / 1e6 / t_lindex
+        print(f"# large index ({ln >> 20} MiB): {t_lindex*1e3:.0f} ms -> "
+              f"{lmbps_index:.1f} MB/s (rtt {rtt / t_lindex * 100:.1f}%)",
+              file=sys.stderr)
+        lblock = jax.jit(lambda b: with_lf_table(b))(index_block(ld))
+        t0 = time.perf_counter()
+        int(np.asarray(decode_ck(lblock)))
+        print(f"# large decode compile+run: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        t_ldecode = timeit(decode_ck, lblock, repeat=2)
+        lmbps_decode = ln / 1e6 / t_ldecode
+        print(f"# large decode: {t_ldecode*1e3:.0f} ms -> "
+              f"{lmbps_decode:.1f} MB/s", file=sys.stderr)
+        assert np.array_equal(np.asarray(decode_text_jit(lblock)), ldata), \
+            "large decode mismatch"
+        large_extra = {
+            "large_block_MiB": ln >> 20,
+            "large_index_MBps": round(lmbps_index, 2),
+            "large_decode_MBps": round(lmbps_decode, 2),
+            "large_rtt_pct": round(rtt / t_lindex * 100, 2),
+        }
+        del ld, lblock
+
     # host single-core baseline on a smaller slice
     from gecoz_tpu.index.hswt import HSWT
     from gecoz_tpu.index.shape import HSWTShape
     from gecoz_tpu.index.ssa import SampledSAIndex
-    from gecoz_tpu.ops.sa import bwt_from_sa, suffix_array_numpy
+    from gecoz_tpu.ops.sa import bwt_from_sa, suffix_array, suffix_array_numpy
 
     hn = min(n, 1 << 20)
     hdata = data[:hn].copy()
@@ -169,6 +206,23 @@ def main() -> None:
     print(f"# host baseline: {host_mbps:.2f} MB/s ({hn >> 20} MiB)",
           file=sys.stderr)
 
+    # native tier (the repo's own C++ SA-IS) on the full block: the honest
+    # single-core comparison point — `vs_native` is the chip's edge over
+    # the best host implementation shipped in this repo.
+    from gecoz_tpu.utils.hostmem import warm_for_block
+    warm_for_block(n * 6)
+    t0 = time.perf_counter()
+    nsa = suffix_array(data, backend="native")
+    nbwt = bwt_from_sa(data, nsa)
+    nshape = HSWTShape.from_counts(np.bincount(data, minlength=256))
+    HSWT.build(nbwt, nshape)
+    SampledSAIndex.build(nsa, 32)
+    t_native = time.perf_counter() - t0
+    native_mbps = n / 1e6 / t_native
+    print(f"# native tier: {native_mbps:.2f} MB/s ({n >> 20} MiB)",
+          file=sys.stderr)
+    del nsa, nbwt
+
     result = {
         "metric": "FM-index encode throughput, single chip "
                   f"({n >> 20} MiB DNA block: SA+BWT+query-state)",
@@ -179,9 +233,12 @@ def main() -> None:
             "decode_MBps": round(mbps_decode, 2),
             "search_Mqps_16mer": round(qps, 3),
             "host_single_core_MBps": round(host_mbps, 2),
+            "native_tier_MBps": round(native_mbps, 2),
+            "vs_native": round(mbps_index / native_mbps, 2),
             "rtt_ms": round(rtt * 1e3, 1),
             "device": str(dev),
             "platform": platform,
+            **large_extra,
         },
     }
     print(json.dumps(result))
