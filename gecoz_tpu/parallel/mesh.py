@@ -51,9 +51,12 @@ def _bucket_size(n: int) -> int:
 def _batched_sa(npad: int):
     import jax
 
-    from gecoz_tpu.ops.sa_device import _suffix_array_jit
+    from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
 
-    return jax.jit(jax.vmap(_suffix_array_jit))
+    # run-aware variant: the trailing zero padding is one run, fully
+    # ordered by the seed sort — the k-mer doubling variant would pay
+    # ~log2(pad length) extra rounds on it (and on genomic N runs)
+    return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(s)[0]))
 
 
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
@@ -79,31 +82,68 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
 
 
 def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
-                  sampling_rate: int = 32) -> list[tuple[bytes, bytes]]:
-    """Encode many blocks: batched device suffix sort + host serialization.
+                  sampling_rate: int = 32, backend: str = "auto"
+                  ) -> list[tuple[bytes, bytes]]:
+    """Encode many blocks: batched device suffix sort, device wavelet
+    construction, host serialization overlapped with the next block's
+    device work (the mesh analog of the reference's intra-block 2-way
+    overlap, GecozFileWriter.java:262-277).
 
+    backend: 'auto' uses the device wavelet kernel when a responsive
+    accelerator is attached (any device failure falls back per block);
+    'device' forces the jax wavelet kernel (also runs on CPU jax);
+    'host' keeps wavelet construction in vectorized numpy.
     Returns (gcz_block, gcx_block) per input block, in input order.
     """
-    from gecoz_tpu.formats.gcz import SSA_HEADER_LEN, RefBlockHeader, \
-        index_size, ref_header_length, write_ssa_header
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gecoz_tpu.formats.gcz import RefBlockHeader, index_size, \
+        ref_header_length, write_ssa_header
     from gecoz_tpu.index.hswt import HSWT
     from gecoz_tpu.index.shape import HSWTShape
     from gecoz_tpu.index.ssa import SampledSAIndex
     from gecoz_tpu.ops.sa import bwt_from_sa
 
+    if backend == "auto":
+        from gecoz_tpu.utils import accel
+        big = max((len(b) for b in blocks), default=0)
+        backend = ("device" if accel.device_worthwhile(big)
+                   and accel.accelerator_ok() else "host")
+
     sas = suffix_arrays_batched(blocks)
-    out = []
     sf = sampling_rate.bit_length() - 1
-    for data, hdrs, sa in zip(blocks, headers, sas):
+
+    def serialize(data, hdrs, sa, shape, hswt):
         n = len(data)
-        shape = HSWTShape.from_counts(np.bincount(data, minlength=256))
-        bwt = bwt_from_sa(data, sa)
-        hswt = HSWT.build(bwt, shape)
         ssa = SampledSAIndex.build(sa, sampling_rate)
         block_size = ref_header_length(hdrs) + shape.size
         gcz = RefBlockHeader(hdrs, block_size, n).write() + hswt.serialize()
         gcx = write_ssa_header(hdrs, index_size(n, sf)) + ssa.serialize()
-        out.append((gcz, gcx))
+        return gcz, gcx
+
+    futures = []
+    # 1 worker: block i's sampled-SA build + serialization overlaps block
+    # i+1's wavelet construction on the device
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for data, hdrs, sa in zip(blocks, headers, sas):
+            shape = HSWTShape.from_counts(np.bincount(data, minlength=256))
+            bwt = bwt_from_sa(data, sa)
+            hswt = None
+            if backend == "device":
+                from gecoz_tpu.ops.wavelet import build_hswt_device
+                try:
+                    hswt = HSWT.from_packed(shape,
+                                            build_hswt_device(bwt, shape))
+                except Exception as ex:      # noqa: BLE001 — device tier
+                    import logging
+                    logging.getLogger("gecoz").warning(
+                        "device wavelet failed (%s: %s); host tier",
+                        type(ex).__name__, ex)
+            if hswt is None:
+                hswt = HSWT.build(bwt, shape)
+            futures.append(pool.submit(serialize, data, hdrs, sa, shape,
+                                       hswt))
+        out = [f.result() for f in futures]
     return out
 
 

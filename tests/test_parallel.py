@@ -45,6 +45,19 @@ def test_encode_blocks_matches_sequential(rng):
         assert gcx == sgcx
 
 
+def test_encode_blocks_device_wavelet_identical(rng):
+    """backend='device' (jax wavelet kernel) emits the same bytes as the
+    host tier — the mesh writer's device path is byte-compatible."""
+    blocks, headers = [], []
+    for i in range(3):
+        data, _ = random_block(rng, nseq=2, minlen=50, maxlen=400)
+        blocks.append(data)
+        headers.append([f"d{i}a", f"d{i}b"])
+    dev = encode_blocks(blocks, headers, backend="device")
+    host = encode_blocks(blocks, headers, backend="host")
+    assert dev == host
+
+
 def test_index_fasta_parallel_file_identical(tmp_path, rng):
     records = [(f"chr{i}", random_dna(rng, int(rng.integers(200, 2000))))
                for i in range(6)]
