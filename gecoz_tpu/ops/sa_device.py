@@ -125,8 +125,8 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
-@jax.jit
-def _suffix_array_runs_jit(s: jax.Array):
+@functools.partial(jax.jit, static_argnames=("nr_mode",))
+def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
     """Run-aware suffix array + BWT: run-token reduction + doubling.
 
     Equal-symbol runs are the prefix-doubling pathology (a run of length R
@@ -185,14 +185,17 @@ def _suffix_array_runs_jit(s: jax.Array):
 
     # compact to the token string: slot j = rank0 at run j's start; padding
     # slots m..n-1 get large distinct keys so they sort last and stay inert.
+    starts_full = None
     if _scatter_is_cheap():
         drop = jnp.where(is_start, run_id, n)
         tok = (n + iota).at[drop].set(rank0, mode="drop")
     else:
         # compaction = one stable partition sort (run starts first, in
-        # position order), cheaper than a scattered write on TPU
-        _, _, start_rank = jax.lax.sort(
-            ((~is_start).astype(jnp.int32), iota, rank0), num_keys=2)
+        # position order), cheaper than a scattered write on TPU; iota
+        # rides as an extra value so starts_full[j] = position of the
+        # j-th run start (consumed by the nr fill below)
+        _, _, start_rank, starts_full = jax.lax.sort(
+            ((~is_start).astype(jnp.int32), iota, rank0, iota), num_keys=2)
         tok = jnp.where(iota < m, start_rank, n + iota)
 
     def shifted(r, k):
@@ -257,9 +260,36 @@ def _suffix_array_runs_jit(s: jax.Array):
     rank, _, _ = jax.lax.while_loop(
         cond, body, (rank, k1, done1 | done0))
 
-    # rank of the *next* run's start suffix, broadcast over each run —
-    # one monotone gather by run id (the only gather in the algorithm)
-    nr = shifted(rank, 1)[run_id]
+    # rank of the *next* run's start suffix, broadcast over each run
+    nrank = shifted(rank, 1)
+    pos_bits = max(1, (n - 1).bit_length())
+    cb = 31 - pos_bits                       # value-chunk bits per pass
+    vbits = max(1, int(n).bit_length())      # values in [0, n]
+    chunks = -(-vbits // cb) if cb > 0 else 99
+    use_fill = (starts_full is not None and chunks <= 8
+                and nr_mode != "gather") or nr_mode == "fill"
+    if use_fill:
+        # TPU: random gathers cost ~30ms/4Mi while a 1-key sort is ~8ms
+        # and a cummax ~2ms (tools/probe_nr.py).  Placement sort lands
+        # nrank[j] at the j-th run start; the run-wide broadcast is an
+        # exact segmented forward fill: cummax over (start_pos << cb |
+        # value_chunk) — the prefix max is always the most recent start's
+        # pack because the monotone position occupies the high bits.
+        if starts_full is None:              # nr_mode == "fill" on CPU
+            _, _, starts_full = jax.lax.sort(
+                ((~is_start).astype(jnp.int32), iota, iota), num_keys=2)
+        placed = jax.lax.sort((starts_full, nrank), num_keys=1)[1]
+        val = placed + 1                     # [-1, n) -> [0, n]
+        nr = jnp.zeros((n,), jnp.int32)
+        for c in range(chunks):
+            chunk = (val >> (c * cb)) & ((1 << cb) - 1)
+            pack = jnp.where(is_start, (iota << cb) | chunk, -1)
+            fill = jax.lax.cummax(pack)
+            nr = nr | ((fill & ((1 << cb) - 1)) << (c * cb))
+        nr = nr - 1
+    else:
+        # one monotone gather by run id (the only gather in the algorithm)
+        nr = nrank[run_id]
 
     s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
     _, _, order, bwt = jax.lax.sort(

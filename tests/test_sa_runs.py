@@ -22,6 +22,12 @@ def runs_sa(s: np.ndarray) -> np.ndarray:
     # the fused BWT must match the gather formulation
     from gecoz_tpu.ops.sa import bwt_from_sa
     assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, np.asarray(sa)))
+    # both nr-broadcast strategies (TPU: placement sort + segmented cummax
+    # fill; CPU default: monotone gather) must agree
+    sa_f, bwt_f = _suffix_array_runs_jit(jnp.asarray(s, jnp.uint8),
+                                         nr_mode="fill")
+    assert np.array_equal(np.asarray(sa_f), np.asarray(sa))
+    assert np.array_equal(np.asarray(bwt_f), np.asarray(bwt))
     return np.asarray(sa)
 
 

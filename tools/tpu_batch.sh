@@ -3,6 +3,7 @@
 # Each step has its own timeout so a re-wedged relay doesn't eat the batch.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD"
 mkdir -p /tmp/tpu_meas
 run() {
   name=$1; shift; tmo=$1; shift
