@@ -38,8 +38,10 @@ def index_block(s: jax.Array, sf: int = 5,
     """
     if sa_impl == "runs":
         # the run-aware sort emits the BWT as a free value operand of its
-        # final sort (saves an n-wide gather)
-        sa, bwt = _suffix_array_runs_jit(s)
+        # final sort (saves an n-wide gather); the static alphabet enables
+        # the packed 1-key seed sort
+        sa, bwt = _suffix_array_runs_jit(
+            s, syms=symbols if len(symbols) <= 7 else None)
     else:
         table, bits = dense_table(symbols)
         sa = _suffix_array_jit(s, jnp.asarray(table), bits=bits)

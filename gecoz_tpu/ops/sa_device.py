@@ -73,6 +73,20 @@ def _sort_rerank(key1, key2, iota):
     return rank, order, done
 
 
+def _sort_rerank1(key, iota):
+    """1-key variant of _sort_rerank (sorts 2 operands, not 3): for callers
+    whose composite key fits one int31 word (~half the sort cost on TPU)."""
+    n = iota.shape[0]
+    ks, order = jax.lax.sort((key, iota), num_keys=1)
+    new_group = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (ks[1:] != ks[:-1]).astype(jnp.int32)])
+    ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
+    rank = apply_perm(order, ranks_in_order)
+    done = ranks_in_order[n - 1] == n - 1
+    return rank, order, done
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
                       bits: int = 9):
@@ -125,8 +139,12 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nr_mode",))
-def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
+@functools.partial(jax.jit, static_argnames=("nr_mode", "syms"))
+def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
+                           syms: tuple[int, ...] | None = None):
+    # `syms`: static alphabet covering EVERY byte of `s` (bytes outside it
+    # would alias a neighbor's dense code).  When given and small enough,
+    # the whole run key packs into one int31 word -> 1-key seed sort.
     """Run-aware suffix array + BWT: run-token reduction + doubling.
 
     Equal-symbol runs are the prefix-doubling pathology (a run of length R
@@ -162,7 +180,18 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
         raise ValueError("run-aware device SA packs (position, side) into "
                          "int31; split blocks above 1 GiB")
     iota = jnp.arange(n, dtype=jnp.int32)
-    codes = s.astype(jnp.int32) + 1
+    eb = int(n).bit_length()                   # ell fits eb bits (ell <= n)
+    sym_bits = max(len(syms), 1).bit_length() if syms else 0
+    pack_seed = bool(syms) and sym_bits + 1 + eb <= 31
+    if pack_seed:
+        # dense codes via compare-sum against the static alphabet (sigma
+        # cheap VPU passes; a 256-entry table gather would be latency-bound)
+        codes = jnp.zeros((n,), jnp.int32)
+        for sym in syms:
+            codes = codes + (s >= jnp.uint8(sym)).astype(jnp.int32)
+        # order-isomorphic to raw bytes: run/below semantics unchanged
+    else:
+        codes = s.astype(jnp.int32) + 1
     nxt = jnp.concatenate([codes[1:], jnp.full((1,), -1, jnp.int32)])
     is_end = codes != nxt                      # last position of each run
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), is_end[:-1]])
@@ -179,9 +208,17 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
     nde = v >> 1                               # inclusive next run end
     below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1                       # remaining run length >= 1
-    key1 = (codes << 1) | (~below).astype(jnp.int32)
-    key2 = jnp.where(below, ell, -ell)
-    rank0, _, done0 = _sort_rerank(key1, key2, iota)
+    if pack_seed:
+        # the whole run key (c, side, +/-ell) in one int31 word: a 1-key
+        # seed sort (2 operands) instead of a 2-key one (3 operands)
+        above = (~below).astype(jnp.int32)
+        key = ((codes << (1 + eb)) | (above << eb)
+               | jnp.where(below, ell, (1 << eb) - ell))
+        rank0, _, done0 = _sort_rerank1(key, iota)
+    else:
+        key1 = (codes << 1) | (~below).astype(jnp.int32)
+        key2 = jnp.where(below, ell, -ell)
+        rank0, _, done0 = _sort_rerank(key1, key2, iota)
 
     # compact to the token string: slot j = rank0 at run j's start; padding
     # slots m..n-1 get large distinct keys so they sort last and stay inert.
@@ -193,9 +230,12 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
         # compaction = one stable partition sort (run starts first, in
         # position order), cheaper than a scattered write on TPU; iota
         # rides as an extra value so starts_full[j] = position of the
-        # j-th run start (consumed by the nr fill below)
-        _, _, start_rank, starts_full = jax.lax.sort(
-            ((~is_start).astype(jnp.int32), iota, rank0, iota), num_keys=2)
+        # j-th run start (consumed by the nr fill below).  The partition
+        # bit packs above the position (n < 2^30 per the guard), making
+        # this a 1-key 3-operand sort
+        ckey = jnp.where(is_start, iota, (1 << 30) + iota)
+        _, start_rank, starts_full = jax.lax.sort(
+            (ckey, rank0, iota), num_keys=1)
         tok = jnp.where(iota < m, start_rank, n + iota)
 
     def shifted(r, k):
@@ -292,8 +332,15 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto"):
         nr = nrank[run_id]
 
     s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
-    _, _, order, bwt = jax.lax.sort(
-        (rank0, nr, iota, s_prev), num_keys=2)
+    if n < (1 << 23):
+        # fold (position, BWT byte) into one value operand — one fewer
+        # n-wide operand in the final sort (fits int31 below 8 Mi)
+        packed_ib = (iota << 8) | s_prev.astype(jnp.int32)
+        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2)
+        order, bwt = ob >> 8, (ob & 255).astype(jnp.uint8)
+    else:
+        _, _, order, bwt = jax.lax.sort(
+            (rank0, nr, iota, s_prev), num_keys=2)
     return order.astype(jnp.int32), bwt
 
 
@@ -334,7 +381,10 @@ def suffix_array_device(s, impl: str = "auto") -> jax.Array:
     if impl == "auto":
         impl = "runs" if max_run_length(s) > RUN_THRESHOLD else "kmer"
     if impl == "runs":
-        return _suffix_array_runs_jit(jnp.asarray(s))[0]
+        syms = tuple(int(x) for x in np.unique(s))
+        if len(syms) > 7:
+            syms = None          # packed seed only pays below 3 sym bits
+        return _suffix_array_runs_jit(jnp.asarray(s), syms=syms)[0]
     table, bits = dense_table(np.unique(s))
     return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 

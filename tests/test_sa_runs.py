@@ -28,6 +28,13 @@ def runs_sa(s: np.ndarray) -> np.ndarray:
                                          nr_mode="fill")
     assert np.array_equal(np.asarray(sa_f), np.asarray(sa))
     assert np.array_equal(np.asarray(bwt_f), np.asarray(bwt))
+    # the packed 1-key seed (static alphabet) must agree too
+    syms = tuple(int(x) for x in np.unique(s))
+    if len(syms) <= 7:
+        sa_p, bwt_p = _suffix_array_runs_jit(jnp.asarray(s, jnp.uint8),
+                                             syms=syms)
+        assert np.array_equal(np.asarray(sa_p), np.asarray(sa))
+        assert np.array_equal(np.asarray(bwt_p), np.asarray(bwt))
     return np.asarray(sa)
 
 

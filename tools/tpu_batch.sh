@@ -3,7 +3,9 @@
 # Each step has its own timeout so a re-wedged relay doesn't eat the batch.
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD"
+# NB append, don't overwrite: the existing PYTHONPATH carries the axon
+# TPU plugin's sitecustomize
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p /tmp/tpu_meas
 run() {
   name=$1; shift; tmo=$1; shift
