@@ -50,6 +50,31 @@ def unpack_bits(data: np.ndarray, length: int) -> np.ndarray:
                          bitorder="little")
 
 
+def slice_packed_bits(buf: np.ndarray, start: int, length: int) -> np.ndarray:
+    """Bits [start, start+length) of an LSB-first packed byte buffer,
+    re-packed LSB-first (tail bits of the last byte zeroed) — the packed
+    equivalent of ``pack_bits(unpack_bits(buf, ...)[start:start+length])``
+    without materializing the unpacked bits (one vectorized shift pass)."""
+    if length <= 0:
+        return np.zeros(0, np.uint8)
+    buf = np.asarray(buf, dtype=np.uint8)
+    nout = (length + 7) >> 3
+    b0, sh = start >> 3, start & 7
+    if sh == 0:
+        out = buf[b0:b0 + nout].copy()
+        if len(out) < nout:
+            out = np.concatenate([out, np.zeros(nout - len(out), np.uint8)])
+    else:
+        src = np.zeros(nout + 1, np.uint8)
+        avail = max(0, min(nout + 1, len(buf) - b0))
+        src[:avail] = buf[b0:b0 + avail]
+        out = (src[:-1] >> sh) | (src[1:] << (8 - sh))
+    rem = length & 7
+    if rem:
+        out[-1] &= (1 << rem) - 1
+    return out
+
+
 def _group_popcounts(data: np.ndarray, ngroups: int) -> np.ndarray:
     """Ones per 64-byte group (padded), as int64."""
     pad = ngroups * _GROUP - len(data)

@@ -11,8 +11,10 @@ concatenation of all level-L node bit vectors equals
 
 i.e. one stable sort per level groups elements by their code prefix
 (ascending prefix integer), preserving BWT order within each node.  The
-host then slices per-node bit runs (lengths are known from the shape) and
-serializes them into the pre-order gecoz layout.
+bits are packed into uint32 words ON DEVICE (32x smaller device->host
+transfer than the raw 0/1 bytes), and the host slices per-node bit runs
+straight out of the packed words (lengths are known from the shape) into
+the pre-order gecoz layout.
 
 Levels are few (max code length; ~3-7 for genomic alphabets), so the whole
 construction is `maxlen` stable sorts — sort-shaped work XLA runs at full
@@ -27,22 +29,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gecoz_tpu.index.rankbv import pack_bits
+from gecoz_tpu.index.rankbv import slice_packed_bits
 from gecoz_tpu.index.shape import HSWTShape
 
 _BIG = np.int32(2 ** 30)
 
 
 @functools.partial(jax.jit, static_argnames=("maxlen",))
-def wavelet_level_bits(bwt: jax.Array, codes: jax.Array, lens: jax.Array,
-                       maxlen: int) -> jax.Array:
-    """Per-level node-concatenated bit arrays.
+def wavelet_level_words(bwt: jax.Array, codes: jax.Array, lens: jax.Array,
+                        maxlen: int) -> jax.Array:
+    """Per-level node-concatenated bit arrays, packed to words on device.
 
-    Returns uint8 [maxlen, n]; row L holds the level-L bits of all active
-    elements (grouped by ascending code prefix, stable in BWT order) in its
-    first `n_L` entries.
+    Returns uint32 [maxlen, ceil(n/32)]; row L holds the level-L bits of
+    all active elements (grouped by ascending code prefix, stable in BWT
+    order) LSB-first in its first `n_L` bit positions.
     """
-    n = bwt.shape[0]
+    from gecoz_tpu.ops.fmq import _pack_bits_jit
+
     sym = bwt.astype(jnp.int32)
     code = codes[sym]
     ln = lens[sym]
@@ -53,14 +56,18 @@ def wavelet_level_bits(bwt: jax.Array, codes: jax.Array, lens: jax.Array,
         prefix = code & ((1 << L) - 1)
         key = jnp.where(active, prefix, _BIG)
         order = jnp.argsort(key, stable=True)
-        bits = ((code[order] >> L) & 1).astype(jnp.uint8)
-        rows.append(bits)
+        bits = ((code[order] >> L) & 1).astype(jnp.int32)
+        rows.append(_pack_bits_jit(bits))
     return jnp.stack(rows)
 
 
 def node_bits_from_levels(levels: np.ndarray,
                           shape: HSWTShape) -> dict[tuple[int, int], np.ndarray]:
-    """Slice per-node packed bit vectors out of the level arrays (host)."""
+    """Slice per-node packed bit vectors out of packed level words (host).
+
+    `levels` is the uint32 [maxlen, W] output of wavelet_level_words; node
+    boundaries fall at arbitrary bit offsets, extracted with one shift pass
+    per node (slice_packed_bits)."""
     out: dict[tuple[int, int], np.ndarray] = {}
     by_level: dict[int, list[tuple[int, int]]] = {}
     for (L, p) in shape.nodes:
@@ -68,10 +75,10 @@ def node_bits_from_levels(levels: np.ndarray,
     for L, keys in by_level.items():
         keys.sort(key=lambda k: k[1])          # ascending prefix integer
         off = 0
-        row = levels[L]
+        row = np.ascontiguousarray(levels[L]).view(np.uint8)
         for key in keys:
             ln = shape.node_lengths[key]
-            out[key] = pack_bits(row[off:off + ln])
+            out[key] = slice_packed_bits(row, off, ln)
             off += ln
     return out
 
@@ -79,7 +86,7 @@ def node_bits_from_levels(levels: np.ndarray,
 def build_hswt_device(bwt_np: np.ndarray, shape: HSWTShape):
     """BWT bytes -> {node: packed bits} via the device kernel."""
     maxlen = int(shape.bit_lengths.max())
-    levels = np.asarray(wavelet_level_bits(
+    levels = np.asarray(wavelet_level_words(
         jnp.asarray(bwt_np),
         jnp.asarray(shape.codes.astype(np.int32)),
         jnp.asarray(shape.bit_lengths.astype(np.int32)),

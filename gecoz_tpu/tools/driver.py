@@ -60,6 +60,21 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
                 parts.append(np.zeros(1, dtype=np.uint8))
             return np.concatenate(parts)
 
+    if backend in ("auto", "device"):
+        # flagship encode path: batched device suffix sorts across blocks
+        # (parallel/mesh.py) whenever the device tier is in play — the
+        # same policy encode_block applies per block, decided once here
+        from gecoz_tpu.utils import accel
+        big = max((sum(s.length + 1 for s in b.sequences) for b in blocks),
+                  default=0)
+        if backend == "device" or (accel.device_worthwhile(big)
+                                   and accel.accelerator_ok()):
+            with GecozWriter(opath, xpath, sampling, backend=backend,
+                             append=skip > 0) as w:
+                _index_blocks_mesh(blocks, read_block, w, sampling)
+            log.info("finished in %d ms", (time.time() - t0) * 1000)
+            return
+
     with GecozWriter(opath, xpath, sampling, backend=backend,
                      append=skip > 0) as w:
         if threads <= 1:
@@ -87,6 +102,56 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
             finally:
                 pool.shutdown()
     log.info("finished in %d ms", (time.time() - t0) * 1000)
+
+
+MESH_WINDOW_BYTES = 256 << 20   # text bytes batched per mesh-encode window
+MESH_WINDOW_BLOCKS = 16
+
+
+def _index_blocks_mesh(blocks, read_block, w, sampling) -> None:
+    """Encode plan blocks through the batched device path
+    (parallel/mesh.py::encode_blocks) in bounded windows.
+
+    Windows keep peak host memory at O(window) rather than O(file) while
+    still letting equal-bucket blocks share one vmapped device sort.  Any
+    window-level device failure falls back to the per-block host tier for
+    that window (the degradation policy the per-block path already has).
+    """
+    from gecoz_tpu.parallel.mesh import encode_blocks
+    from gecoz_tpu.utils import metrics
+
+    window: list[np.ndarray] = []
+    hdrs: list[list[str]] = []
+
+    def flush() -> None:
+        if not window:
+            return
+        nbytes = sum(len(d) for d in window)
+        with metrics.phase("index.encode_mesh", nbytes):
+            try:
+                encoded = encode_blocks(window, hdrs, sampling,
+                                        backend="device")
+            except Exception as ex:        # noqa: BLE001 — any device error
+                log.warning("mesh encode failed (%s: %s); host tier for "
+                            "this window", type(ex).__name__, ex)
+                from gecoz_tpu.formats.gcz import encode_block
+                encoded = [encode_block(d, h, sampling, backend="native")
+                           for d, h in zip(window, hdrs)]
+        for gcz, gcx in encoded:
+            w.write_encoded(gcz, gcx)
+        window.clear()
+        hdrs.clear()
+
+    acc = 0
+    for block in blocks:
+        data = read_block(block)
+        window.append(data)
+        hdrs.append(block.headers)
+        acc += len(data)
+        if acc >= MESH_WINDOW_BYTES or len(window) >= MESH_WINDOW_BLOCKS:
+            flush()
+            acc = 0
+    flush()
 
 
 def _resume_prefix(opath, xpath, blocks, sampling) -> int:
@@ -321,7 +386,6 @@ def gff_search(ref_path, fasta_path, out=None, backend: str = "auto") -> None:
     """
     out = sys.stdout if out is None else out
     reader = GecozReader(ref_path)
-    fms = [(h, reader.read(h)) for h in reader.headers]
 
     queries = []
     for q in iter_fasta(fasta_path):
@@ -329,26 +393,35 @@ def gff_search(ref_path, fasta_path, out=None, backend: str = "auto") -> None:
         rev = seq[::-1].translate(_COMPLEMENT)
         queries.append((q.header, seq, rev))
 
+    # Stream block-by-block (the reference's per-block loop,
+    # GecoMatch.java:109-135): load one block's query state, run every
+    # query x strand against it, release it — peak memory is bounded by
+    # ONE block plus the accumulated hit lists (tiny), not the whole index.
+    results = []              # per block: (seq headers, {strand_idx: hits})
     if backend == "device":
         from gecoz_tpu.tools.batch_search import find_batched
         patterns = [s for _, f, r in queries for s in (f, r)]
-        results = [find_batched(fm, patterns) for _, fm in fms]
-        for qi, (header, fwd, _) in enumerate(queries):
-            for si, reverse in ((2 * qi, False), (2 * qi + 1, True)):
-                for bi, (bheader, _) in enumerate(fms):
-                    for i, hits in sorted(results[bi][si].items()):
-                        for p in hits:
-                            _gff_row(out, bheader.headers[i], int(p),
-                                     len(fwd), reverse, header)
-        return
+        for bheader in reader.headers:
+            fm = reader.read(bheader)
+            results.append((bheader.headers, find_batched(fm, patterns)))
+            del fm
+    else:
+        for bheader in reader.headers:
+            fm = reader.read(bheader)
+            per = {}
+            for qi, (_, fwd, rev) in enumerate(queries):
+                per[2 * qi] = fm.find(fwd)
+                per[2 * qi + 1] = fm.find(rev)
+            results.append((bheader.headers, per))
+            del fm
 
-    for header, fwd, rev in queries:
-        for reverse, s in ((False, fwd), (True, rev)):
-            for bheader, fm in fms:
-                res = fm.find(s)
-                for i, hits in sorted(res.items()):
+    # emit in the reference's row order: query -> strand -> block -> seq
+    for qi, (header, fwd, _) in enumerate(queries):
+        for si, reverse in ((2 * qi, False), (2 * qi + 1, True)):
+            for seq_headers, per in results:
+                for i, hits in sorted(per[si].items()):
                     for p in hits:
-                        _gff_row(out, bheader.headers[i], int(p), len(s),
+                        _gff_row(out, seq_headers[i], int(p), len(fwd),
                                  reverse, header)
 
 

@@ -19,9 +19,13 @@ import sys
 
 _CACHED: bool | None = None
 
-# below this many bytes of work the device tier loses to dispatch latency
-# (~30 ms relay RTT measured on the v5e relay; see ROADMAP.md)
-DEVICE_MIN_BYTES = 32 << 20
+# Below this many bytes of work the device tier loses to dispatch latency.
+# Break-even from BENCH_r02 numbers: relay RTT ~30 ms equals ~130 KiB of
+# native-tier work (4.4 MB/s), and the device beats the native tier 6.6x
+# already at 4 MiB; with the persistent compilation cache (gecoz_tpu
+# __init__) warm, compile cost no longer factors in.  512 KiB leaves
+# headroom for relay jitter.  Override with GECOZ_DEVICE_MIN_BYTES.
+DEVICE_MIN_BYTES = int(os.environ.get("GECOZ_DEVICE_MIN_BYTES", 512 << 10))
 
 _PROBE_CODE = (
     "import jax, jax.numpy as jnp;"

@@ -146,6 +146,29 @@ def test_cli_end_to_end(tmp_path, rng, capsys):
     assert "chrC found :" in captured.out
 
 
+def test_cli_mesh_backend_byte_identical(tmp_path, rng):
+    """--backend device routes through the batched mesh encode path
+    (driver._index_blocks_mesh -> parallel/mesh.py::encode_blocks) and
+    must produce files byte-identical to the host path."""
+    records = [(f"chr{i}", random_dna(rng, int(rng.integers(800, 4000))))
+               for i in range(5)]
+    fa = tmp_path / "m.fa"
+    write_fasta(fa, records)
+    host = tmp_path / "host.gcz"
+    mesh = tmp_path / "mesh.gcz"
+    assert cli_main(["-i", str(fa), "-o", str(host),
+                     "--backend", "native"]) == 0
+    assert cli_main(["-i", str(fa), "-o", str(mesh),
+                     "--backend", "device"]) == 0
+    assert mesh.read_bytes() == host.read_bytes()
+    assert (tmp_path / "mesh.gcx").read_bytes() == \
+        (tmp_path / "host.gcx").read_bytes()
+    back = tmp_path / "m.out.fa"
+    assert cli_main(["-i", str(mesh), "-o", str(back)]) == 0
+    assert {s.header: bytes(s.data) for s in iter_fasta(back)} == \
+        {h: bytes(s) for h, s in records}
+
+
 def test_header_hash_java_semantics():
     # matches Java: h = 1125899906842597; h = h*31 + ch
     h = header_hash(["AB"])

@@ -54,3 +54,18 @@ def test_bitreader_peek_skip_align():
     assert r.read(7) == 100
     r.align()
     assert r.bitpos % 8 == 0
+
+
+def test_slice_packed_bits_matches_unpack_repack():
+    from gecoz_tpu.index.rankbv import pack_bits, slice_packed_bits
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        n = int(rng.integers(1, 400))
+        bits = rng.integers(0, 2, size=n).astype(np.uint8)
+        buf = pack_bits(bits)
+        s = int(rng.integers(0, n))
+        ln = int(rng.integers(0, n - s + 1))
+        want = pack_bits(bits[s:s + ln])
+        got = slice_packed_bits(buf, s, ln)
+        assert np.array_equal(got, want)
+    assert slice_packed_bits(np.zeros(2, np.uint8), 3, 0).size == 0
