@@ -23,6 +23,11 @@ def _enable_compile_cache() -> None:
     import os
     if os.environ.get("GECOZ_NO_COMPILE_CACHE"):
         return
+    # CPU compiles are fast and the XLA:CPU AOT cache loader warns (and can
+    # in principle SIGILL) across machine-feature changes — the cache only
+    # earns its keep on accelerators, so skip it when CPU is forced.
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        return
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "gecoz", "jax")
     try:

@@ -55,9 +55,10 @@ class DeviceFMBlock(NamedTuple):
     lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
                             # block fits 24-bit rows, else uint32 [n,2]
                             # (lf, sym) pairs; empty when not built
-    lf4_tab: jax.Array      # 4-step decode table: uint32 [n,2] rows of
-                            # (LF^4, sym|sym@LF<<8|sym@LF^2<<16|sym@LF^3<<24);
-                            # empty when not built
+    lfk_tab: jax.Array      # k-step decode table (k = 4 or 8): uint32
+                            # [n, 1 + k//4] rows of (LF^k, then k/4 words
+                            # of 4 packed symbols each — word w bit 8*j =
+                            # symbol at LF^(4w+j)); empty when not built
     kmer_tab: jax.Array     # stacked k-mer seed table: int32 [T,2] rows of
                             # (sp, ep) after backward-searching every
                             # plane-coded string of length 1..kmer_k;
@@ -79,8 +80,13 @@ class DeviceFMBlock(NamedTuple):
         return self.lf_tab.shape[0] > 0
 
     @property
-    def has_lf4(self) -> bool:
-        return self.lf4_tab.shape[0] > 0
+    def has_lfk(self) -> bool:
+        return self.lfk_tab.shape[0] > 0
+
+    @property
+    def lfk_steps(self) -> int:
+        """LF steps per fused-table gather (4 or 8; static)."""
+        return (self.lfk_tab.shape[1] - 1) * 4
 
     @property
     def has_kmer(self) -> bool:
@@ -105,9 +111,11 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     separator correction is a cumsum over the zero plane.  Decode/locate
     steps then cost ONE gather instead of three (bwt + plane + prefix).
 
-    With decode=True the 4-step LF^4 decode table is also built (two extra
-    sort/invert rounds + 8 bytes/row of HBM); locate-only callers pass
-    decode=False to skip it.
+    With decode=True the fused k-step decode table is also built: LF^k
+    plus the k symbols emitted along the way, so a decode walk costs one
+    (1 + k/4)-word gather per k text positions.  k = 8 when the sampling
+    rate divides by 8 (three permutation-composition rounds), else 4;
+    locate-only callers pass decode=False to skip it.
     """
     n = block.n
     if n == 0 or block.has_lf:
@@ -130,8 +138,11 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     if not decode:
         return block._replace(lf_tab=tab)
 
-    # 4-step decode table: LF^4 plus the 4 symbols emitted along the way,
-    # so a decode walk needs one 8-byte gather per FOUR text positions.
+    # Fused k-step decode table: LF^k plus the k symbols emitted along the
+    # way, so a decode walk needs ONE (1 + k/4)-word gather per k text
+    # positions.  Walks are HBM-latency-bound (~35 ns/gather measured), so
+    # halving the gather count ~halves decode time; k = 8 costs one extra
+    # composition round at build and 4 more bytes/row.
     # Permutation composition lf[lf[i]] is done entirely sort-side: one
     # sort inverts the permutation, then the values return to position
     # order via _apply_perm (extra value operands ride along ~free).
@@ -143,8 +154,14 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     _, i2 = jax.lax.sort((lf2, iota), num_keys=1)
     lf4, t2 = _apply_perm(i2, lf2, s2)
     s4 = s2 | (t2 << 16)
-    lf4_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
-    return block._replace(lf_tab=tab, lf4_tab=lf4_tab)
+    rate = 1 << block.sf
+    if rate % 8 == 0:
+        _, i4 = jax.lax.sort((lf4, iota), num_keys=1)
+        lf8, t4 = _apply_perm(i4, lf4, s4)   # t4 = syms at LF^4..LF^7
+        lfk_tab = jnp.stack([lf8.astype(jnp.uint32), s4, t4], axis=1)
+    else:
+        lfk_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
+    return block._replace(lf_tab=tab, lfk_tab=lfk_tab)
 
 
 def _lf_step(block: DeviceFMBlock, idx):
@@ -214,7 +231,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         ssa_perm=jnp.asarray(perm),
         ssa_inv=jnp.asarray(inv),
         lf_tab=jnp.zeros((0,), jnp.int32),
-        lf4_tab=jnp.zeros((0, 2), jnp.uint32),
+        lfk_tab=jnp.zeros((0, 2), jnp.uint32),
         kmer_tab=jnp.zeros((0, 2), jnp.int32),
         sf=int(sf),
     )
@@ -302,7 +319,7 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         mark_words=mark_words, mark_pre=mark_pre,
         ssa_perm=perm, ssa_inv=inv,
         lf_tab=jnp.zeros((0,), jnp.int32),
-        lf4_tab=jnp.zeros((0, 2), jnp.uint32),
+        lfk_tab=jnp.zeros((0, 2), jnp.uint32),
         kmer_tab=jnp.zeros((0, 2), jnp.int32), sf=sf)
 
 
@@ -522,20 +539,24 @@ def decode_text_jit(block: DeviceFMBlock):
             return _lf_step(block, idx)
         return lf_batch(block, idx), block.bwt[idx]
 
-    if W and block.has_lf4 and rate % 4 == 0:
-        # 4 positions per 8-byte gather: round j4 emits columns
-        # rate-1-4*j4 .. rate-4-4*j4 from the packed symbol word
+    if W and block.has_lfk and rate % block.lfk_steps == 0:
+        # k positions per fused-table gather: each round emits one k-wide
+        # column block from the packed symbol words (ascending column =
+        # descending LF step), rounds concatenated in reverse
+        k = block.lfk_steps
         cols = []
         idx = seeds
-        for _ in range(rate // 4):
-            pair = block.lf4_tab[idx]
-            s4 = pair[..., 1]
-            cols.append(jnp.stack(
-                [(s4 >> 24).astype(jnp.uint8),
-                 ((s4 >> 16) & 255).astype(jnp.uint8),
-                 ((s4 >> 8) & 255).astype(jnp.uint8),
-                 (s4 & 255).astype(jnp.uint8)], axis=1))
-            idx = pair[..., 0].astype(jnp.int32)
+        for _ in range(rate // k):
+            row = block.lfk_tab[idx]
+            blockcols = []
+            for w in range(k // 4, 0, -1):      # latest steps first
+                sw = row[..., w]
+                blockcols += [(sw >> 24).astype(jnp.uint8),
+                              ((sw >> 16) & 255).astype(jnp.uint8),
+                              ((sw >> 8) & 255).astype(jnp.uint8),
+                              (sw & 255).astype(jnp.uint8)]
+            cols.append(jnp.stack(blockcols, axis=1))
+            idx = row[..., 0].astype(jnp.int32)
         out = jnp.concatenate(cols[::-1], axis=1)
     elif W:
         out = jnp.zeros((W, rate), dtype=jnp.uint8)

@@ -22,16 +22,25 @@ Algorithm
   principle).  All shifts and permutation-scatters are expressed as
   value-carrying sorts — the same "sorts instead of random HBM access"
   stance as the single-chip kernels (ops/sa_device.py).
-* Suffix array = prefix doubling over the sharded sort: dense-packed
-  k-mer seeding, then rounds of sort-by-(rank, rank[i+k]) + global
-  re-ranking (local cumsum + D-scalar exclusive prefix), until ranks are
-  distinct.  The BWT rides the final sort as a value operand.
+* Two suffix-array variants over that sort, mirroring the single-chip
+  pair (ops/sa_device.py):
+  - 'kmer': dense-packed k-mer seeding + prefix doubling with global
+    re-ranking.  Optimal on run-free text, but pays ~log2(longest
+    equal-symbol run) extra rounds on real genomes.
+  - 'runs': exact run-key seeding ((c, side, ±ell) per position — a run
+    of ANY length is fully ordered by the seed sort), compaction to the
+    run-token string (one value-carrying sort), prefix doubling over
+    TOKENS (so refinement jumps run-by-run), and a final
+    (seed-rank, next-run-rank) sort that carries the BWT as a value
+    operand.  The run-wide broadcast of the next-run rank is a placement
+    sort + chunked segmented cummax fill — no cross-shard gathers.
+  'auto' picks by the longest equal-symbol run, like the single-chip
+  dispatcher (megabase N runs are exactly the blocks big enough to need
+  sharding).
 
 The single-chip path (ops/sa_device.py) stays optimal for blocks that fit
 one device; this module is the capacity escape hatch and the multi-chip
-scaling axis.  NB prefix doubling pays ~log2(longest equal-symbol run)
-extra rounds; the run-key seeding of the single-chip kernel is not yet
-ported to the sharded path.
+scaling axis.
 """
 
 from __future__ import annotations
@@ -75,6 +84,27 @@ def _global_cumsum(x: jax.Array, axis: str, D: int) -> jax.Array:
     idx = jax.lax.axis_index(axis)
     prefix = jnp.sum(jnp.where(jnp.arange(D) < idx, totals, 0))
     return loc + prefix
+
+
+def _global_cummax(x: jax.Array, axis: str, D: int) -> jax.Array:
+    """Inclusive forward cummax over the global array (shard-local scan +
+    one [D]-scalar all-gather carry)."""
+    loc = jax.lax.cummax(x)
+    tops = jax.lax.all_gather(loc[-1:], axis).reshape(D)
+    idx = jax.lax.axis_index(axis)
+    lo = jnp.iinfo(x.dtype).min
+    prev = jnp.max(jnp.where(jnp.arange(D) < idx, tops, lo))
+    return jnp.maximum(loc, prev)
+
+
+def _global_cummin_rev(x: jax.Array, axis: str, D: int) -> jax.Array:
+    """Inclusive REVERSE cummin over the global array."""
+    loc = jax.lax.cummin(x, reverse=True)
+    heads = jax.lax.all_gather(loc[:1], axis).reshape(D)
+    idx = jax.lax.axis_index(axis)
+    hi = jnp.iinfo(x.dtype).max
+    nxt = jnp.min(jnp.where(jnp.arange(D) > idx, heads, hi))
+    return jnp.minimum(loc, nxt)
 
 
 def sorted_sharded(operands: tuple, num_keys: int, axis: str,
@@ -134,13 +164,14 @@ def _shift_k(rank: jax.Array, k, ig: jax.Array, n: int, axis: str,
     return jnp.where(ig < n - k, moved, jnp.int32(-1))
 
 
-def _sort_rerank(key1, key2, pos, sprev, n: int, axis: str, D: int):
-    """Sort suffixes by (key1, key2, pos) — pos is the distinctness
-    tiebreaker, making the whole pipeline effectively stable; dense
-    re-rank ignores it.  Returns (rank_by_position, sa_in_rank_order,
-    bwt_in_rank_order, all_distinct)."""
-    k1s, k2s, pos_s, bwt = sorted_sharded((key1, key2, pos, sprev), 3,
-                                          axis, D)
+def _sort_rerank(key1, key2, pos, vals: tuple, n: int, axis: str, D: int):
+    """Sort by (key1, key2, pos) — pos is the distinctness tiebreaker,
+    making the whole pipeline effectively stable; dense re-rank ignores
+    it.  `vals` ride the sort.  Returns (rank_by_position,
+    pos_in_rank_order, vals_in_rank_order, all_distinct)."""
+    ops = sorted_sharded((key1, key2, pos) + tuple(vals), 3, axis, D)
+    k1s, k2s, pos_s = ops[0], ops[1], ops[2]
+    vals_s = ops[3:]
     p1 = _prev_last(k1s, axis, D, jnp.int32(-(2 ** 31) + 1))
     p2 = _prev_last(k2s, axis, D, jnp.int32(-(2 ** 31) + 1))
     prev1 = jnp.concatenate([p1, k1s[:-1]])
@@ -150,17 +181,28 @@ def _sort_rerank(key1, key2, pos, sprev, n: int, axis: str, D: int):
     done = jax.lax.pmax(ranks_sorted[-1], axis) == n - 1
     # ranks back to position order: one more value-carrying sort
     _, rank_pos = sorted_sharded((pos_s, ranks_sorted), 1, axis, D)
-    return rank_pos, pos_s, bwt, done
+    return rank_pos, pos_s, vals_s, done
 
 
-# -- the jitted sharded kernel -------------------------------------------------
+def _bwt_source(s_l, ig, n_r, axis: str, D: int) -> jax.Array:
+    """Previous byte, cyclic over the REAL text (the BWT gather operand)."""
+    s32 = s_l.astype(jnp.int32)
+    p = _prev_last(s32, axis, D, 0)
+    sp = jnp.concatenate([p, s32[:-1]])
+    last_real = jax.lax.pmax(
+        jnp.max(jnp.where(ig == n_r - 1, s32, -1)), axis)
+    return jnp.where(ig == 0, last_real, sp)
+
+
+# -- the jitted sharded kernels ------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "symbols"))
 def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
                               mesh: Mesh, axis: str,
                               symbols: tuple[int, ...]):
-    """Padded input [n] (multiple of D, sharded along `axis`) ->
-    (sa, bwt), both in suffix-rank order, block-distributed.
+    """K-mer-seeded variant.  Padded input [n] (multiple of D, sharded
+    along `axis`) -> (sa, bwt), both in suffix-rank order,
+    block-distributed.
 
     Positions >= n_real are padding and read as code 0 (below every real
     symbol), so they occupy the first n - n_real rank slots in descending
@@ -181,13 +223,7 @@ def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
         ig = idx * L + jnp.arange(L, dtype=jnp.int32)   # global positions
         n_r = n_real_l[0]
         codes = jnp.where(ig < n_r, table_d[s_l.astype(jnp.int32)], 0)
-        # BWT source: previous byte, cyclic over the REAL text
-        s32 = s_l.astype(jnp.int32)
-        p = _prev_last(s32, axis, D, 0)
-        sp = jnp.concatenate([p, s32[:-1]])
-        last_real = jax.lax.pmax(
-            jnp.max(jnp.where(ig == n_r - 1, s32, -1)), axis)
-        sprev = jnp.where(ig == 0, last_real, sp)
+        sprev = _bwt_source(s_l, ig, n_r, axis, D)
 
         # k-mer seed rank: pack chars_per dense codes into one int31 word
         rank = jnp.zeros(L, dtype=jnp.int32)
@@ -195,14 +231,14 @@ def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
             rank = (rank << bits) | _shift_small(codes, min(t, L - 1),
                                                  axis, D, jnp.int32(0))
         zeros = jnp.zeros(L, jnp.int32)
-        rank, sa_k, bwt_k, done = _sort_rerank(rank, zeros, ig, sprev,
-                                               n, axis, D)
+        rank, sa_k, (bwt_k,), done = _sort_rerank(rank, zeros, ig, (sprev,),
+                                                  n, axis, D)
 
         def body(state):
             rank, sa_k, bwt_k, k, _ = state
             r2 = _shift_k(rank, k, ig, n, axis, D)
-            rank, sa_k, bwt_k, done = _sort_rerank(rank, r2, ig, sprev,
-                                                   n, axis, D)
+            rank, sa_k, (bwt_k,), done = _sort_rerank(rank, r2, ig, (sprev,),
+                                                      n, axis, D)
             return rank, sa_k, bwt_k, k * 2, done
 
         def cond(state):
@@ -219,15 +255,146 @@ def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
     return fn(s, n_real)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "symbols"))
+def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
+                                   mesh: Mesh, axis: str,
+                                   symbols: tuple[int, ...]):
+    """Run-aware variant (the sharded port of ops/sa_device.py
+    `_suffix_array_runs_jit`): run-key seeding + token-string doubling, so
+    megabase equal-symbol runs cost ZERO extra rounds — refinement depth
+    is counted in runs, not characters.
+
+    Mechanics (all global ops are value-carrying distributed sorts or
+    shard-local scans with [D]-scalar carries):
+
+    * run keys: `nde`/`below` come from one global REVERSE cummin of the
+      packed (run-end position << 1 | below-bit) — shard-local cummin plus
+      a [D]-scalar suffix-min exchange;
+    * compaction: one 1-key placement sort lands seed rank0 of the j-th
+      run start at global slot j (padding slots keep inert large keys);
+    * token doubling: identical loop shape to the k-mer variant, but over
+      the m-token string;
+    * next-run broadcast: nrank placed back at run-start positions by one
+      placement sort, then a chunked segmented forward fill — each chunk
+      one global cummax over (position << cb | value-chunk);
+    * final order: ONE global sort by (rank0, nr) with the BWT source as
+      a value operand (position rides as the distinctness key).
+    """
+    n = s.shape[0]
+    D = mesh.shape[axis]
+    if n >= 1 << 30:
+        raise ValueError("run-aware sharded SA packs (position, side) "
+                         "into int31; split blocks above 1 GiB")
+    table = np.zeros(256, dtype=np.int32)
+    for i, sym in enumerate(sorted(symbols)):
+        table[sym] = i + 1
+    table_d = jnp.asarray(table)
+
+    pos_bits = max(1, (n - 1).bit_length())
+    cb = 31 - pos_bits                       # value-chunk bits per fill pass
+    vbits = max(1, int(n).bit_length())      # fill values in [0, n]
+    chunks = -(-vbits // cb)
+
+    def kernel(s_l, n_real_l):
+        L = s_l.shape[0]
+        idx = jax.lax.axis_index(axis)
+        ig = idx * L + jnp.arange(L, dtype=jnp.int32)
+        n_r = n_real_l[0]
+        codes = jnp.where(ig < n_r, table_d[s_l.astype(jnp.int32)], 0)
+        sprev = _bwt_source(s_l, ig, n_r, axis, D)
+
+        # -- exact run keys (c, side, ±ell) ---------------------------------
+        nxt = _shift_small(codes, 1, axis, D, jnp.int32(-1))
+        is_end = codes != nxt                # last position of each run
+        pe = _prev_last(is_end.astype(jnp.int32), axis, D, jnp.int32(1))
+        is_start = jnp.concatenate(
+            [pe, is_end[:-1].astype(jnp.int32)]).astype(jnp.bool_)
+        run_id = _global_cumsum(is_start.astype(jnp.int32), axis, D) - 1
+        m = jax.lax.pmax(run_id[-1], axis) + 1      # number of runs (traced)
+        below_end = nxt < codes              # symbol after the run < c
+        packed = jnp.where(is_end,
+                           (ig << 1) | below_end.astype(jnp.int32),
+                           jnp.int32(2) * n)
+        v = _global_cummin_rev(packed, axis, D)
+        nde = v >> 1                         # inclusive next run end
+        below = (v & 1).astype(jnp.bool_)
+        ell = nde - ig + 1                   # remaining run length >= 1
+        key1 = (codes << 1) | (~below).astype(jnp.int32)
+        key2 = jnp.where(below, ell, -ell)
+        rank0, _, _, done0 = _sort_rerank(key1, key2, ig, (), n, axis, D)
+
+        # -- compact to the token string: slot j = rank0 at run j's start --
+        ckey = jnp.where(is_start, run_id, n + ig)
+        _, tok_r, starts_full = sorted_sharded((ckey, rank0, ig), 1, axis, D)
+        tok = jnp.where(ig < m, tok_r, n + ig)
+
+        pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - ig)
+
+        def tshift(rank, k):
+            """Token rank[j + k] with -1 past the token-string end."""
+            key = jnp.where(ig >= k, ig - k, n + ig).astype(jnp.int32)
+            _, moved = sorted_sharded((key, rank), 1, axis, D)
+            return jnp.where(ig + k < m, moved, jnp.int32(-1))
+
+        def trerank(r1, r2):
+            k1 = jnp.where(ig < m, r1, pad_key1)
+            k2 = jnp.where(ig < m, r2, 0)
+            rank, _, _, done = _sort_rerank(k1, k2, ig, (), n, axis, D)
+            return rank, done
+
+        def body(state):
+            rank, k, _ = state
+            rank, done = trerank(rank, tshift(rank, k))
+            return rank, k * 2, done
+
+        def cond(state):
+            _, k, done = state
+            return jnp.logical_and(~done, k < 2 * n)
+
+        rank, done1 = trerank(tok, tshift(tok, jnp.int32(1)))
+        rank, _, _ = jax.lax.while_loop(
+            cond, body, (rank, jnp.int32(2), done1 | done0))
+
+        # -- rank of the NEXT run's start, broadcast over each run ----------
+        nrank = tshift(rank, 1)
+        # placement sort: position starts_full[j] receives nrank[j]
+        _, placed = sorted_sharded((starts_full, nrank), 1, axis, D)
+        val = placed + 1                     # [-1, n) -> [0, n]
+        nr = jnp.zeros((L,), jnp.int32)
+        for c in range(chunks):
+            chunk = (val >> (c * cb)) & ((1 << cb) - 1)
+            pk = jnp.where(is_start, (ig << cb) | chunk, -1)
+            fill = _global_cummax(pk, axis, D)
+            nr = nr | ((fill & ((1 << cb) - 1)) << (c * cb))
+        nr = nr - 1
+
+        # -- final order: one sort by (rank0, nr); BWT rides along ----------
+        _, _, sa_k, bwt_k = sorted_sharded((rank0, nr, ig, sprev), 3,
+                                           axis, D)
+        return sa_k, bwt_k.astype(jnp.uint8)
+
+    fn = shard_map(kernel, mesh=mesh,
+                   in_specs=(P(axis), P(None)),
+                   out_specs=(P(axis), P(axis)))
+    return fn(s, n_real)
+
+
 def suffix_array_sharded(s, mesh: Mesh | None = None, axis: str = "seq",
-                         symbols: tuple[int, ...] | None = None):
+                         symbols: tuple[int, ...] | None = None,
+                         impl: str = "auto"):
     """Host entry: suffix array + BWT of `s` over a device mesh.
 
     Returns (sa, bwt) as device arrays of length len(s), block-sharded
     along `axis` (suffix-rank order).  Use for blocks whose 10-20x int32
     working set exceeds one device; smaller blocks are faster on the
     single-chip kernel.
+
+    impl: 'kmer' (dense-packed prefix doubling), 'runs' (run-key seeding +
+    token doubling, immune to long equal-symbol runs), or 'auto' (pick by
+    the longest run, like the single-chip dispatcher).
     """
+    from gecoz_tpu.ops.sa_device import RUN_THRESHOLD, max_run_length
+
     s = np.asarray(s, dtype=np.uint8)
     n = len(s)
     if mesh is None:
@@ -236,13 +403,17 @@ def suffix_array_sharded(s, mesh: Mesh | None = None, axis: str = "seq",
     D = mesh.shape[axis]
     if symbols is None:
         symbols = tuple(int(x) for x in np.unique(s))
+    if impl == "auto":
+        impl = ("runs" if n and max_run_length(s) > RUN_THRESHOLD
+                else "kmer")
     pad = (-n) % D
     padded = np.concatenate([s, np.zeros(pad, np.uint8)])
     sh = NamedSharding(mesh, P(axis))
     s_d = jax.device_put(jnp.asarray(padded), sh)
     n_real = jnp.asarray([n], dtype=jnp.int32)
-    sa, bwt = _suffix_array_sharded_jit(s_d, n_real, mesh=mesh, axis=axis,
-                                        symbols=symbols)
+    fn = (_suffix_array_sharded_runs_jit if impl == "runs"
+          else _suffix_array_sharded_jit)
+    sa, bwt = fn(s_d, n_real, mesh=mesh, axis=axis, symbols=symbols)
     if pad:
         sa, bwt = sa[pad:], bwt[pad:]       # strip the padding rank slots
     return sa, bwt

@@ -68,7 +68,7 @@ def test_locate_batch(rng):
     assert np.array_equal(got, sa[rows])
 
 
-@pytest.mark.parametrize("rate", [4, 32])
+@pytest.mark.parametrize("rate", [4, 8, 32])
 def test_decode_text_device(rate, rng):
     for nseq in [1, 3]:
         data, _, fm, _ = make_pair(rng, nseq=nseq, rate=rate)

@@ -94,3 +94,57 @@ def test_sharded_sa_8mib_stays_sharded(rng):
     # the whole operand per device); the sharded kernel's per-device temp
     # is ~n (8 shards x ~8 int32 arrays x n/8) — assert the separation
     assert mem.temp_size_in_bytes < 16 * n, mem.temp_size_in_bytes
+
+
+def test_sharded_runs_impl_bit_exact(rng):
+    """The run-key-seeded sharded variant: exact on adversarial run
+    structure (equal-length runs with different tails force the
+    next-run-rank tiebreak path)."""
+    parts = []
+    for i in range(4):
+        seg = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=3000)
+        seg[500:500 + 700] = ord("N")        # same-length runs, 4 tails
+        parts.append(seg)
+    s = np.concatenate(parts)
+    s[-1] = 0
+    sa, bwt = suffix_array_sharded(s, impl="runs")
+    want = suffix_array(s, backend="auto")
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+
+
+def test_sharded_runs_vs_kmer_same_result(rng):
+    s = _dna(rng, 30_000)
+    a, _ = suffix_array_sharded(s, impl="runs")
+    b, _ = suffix_array_sharded(s, impl="kmer")
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_sharded_runs_megabase_run_stays_sharded(rng):
+    """The VERDICT round-3 criterion: a block with a 1 Mi equal-symbol run
+    is bit-exact through the run-seeded sharded path (the seed sort fully
+    orders the run; token doubling never sees its length), and the
+    compiled HLO stays sharded (no full-size all-gather, bounded temp)."""
+    from gecoz_tpu.parallel.sharded_sa import _suffix_array_sharded_runs_jit
+    n = 2 << 20
+    s = _dna(rng, n, runs=False)
+    s[n // 4:n // 4 + (1 << 20)] = ord("N")
+    s[-1] = 0
+    sa, bwt = suffix_array_sharded(s, impl="runs")
+    want = suffix_array(s, backend="auto")
+    assert np.array_equal(np.asarray(sa), want)
+    assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    symbols = tuple(int(x) for x in np.unique(s))
+    comp = _suffix_array_sharded_runs_jit.lower(
+        jax.ShapeDtypeStruct((n,), jnp.uint8),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        mesh=mesh, axis="seq", symbols=symbols).compile()
+    txt = comp.as_text()
+    big_gathers = [l for l in txt.splitlines()
+                   if "all-gather" in l and re.search(r"[su]\d+\[\d{7,}", l)]
+    assert not big_gathers, big_gathers[:3]
+    mem = comp.memory_analysis()
+    assert mem.temp_size_in_bytes < 16 * n, mem.temp_size_in_bytes
