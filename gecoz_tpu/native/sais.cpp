@@ -1,12 +1,25 @@
 // SA-IS suffix array construction (linear time) + gecoz layout helpers.
 //
 // Host-side native tier of gecoz-tpu: plays the role the reference's Java
-// kernels play (nova-algo string/SAIS.java — an SA-IS/SACA-K hybrid).  This
-// is an independent textbook SA-IS implementation (Nong, Zhang & Chan,
-// DCC 2009): classify L/S types, sort LMS substrings by induced sorting,
-// name them, recurse on the reduced string if names repeat, then induce the
-// final order.  Output equals the true lexicographic suffix array, matching
-// the numpy/JAX backends bit-for-bit.
+// kernels play (nova-algo string/SAIS.java — an SA-IS/SACA-K hybrid with a
+// 5n working-memory contract, SAIS.java:39-41, README.md:41).  This is an
+// independent MEMORY-LEAN SA-IS implementation (Nong, Zhang & Chan, DCC
+// 2009): classify L/S types, sort LMS substrings by induced sorting, name
+// them, recurse on the reduced string if names repeat, then induce the
+// final order.  Output equals the true lexicographic suffix array,
+// matching the numpy/JAX backends bit-for-bit.
+//
+// Memory discipline (matching the reference's 5n contract): besides the
+// input (n bytes) and the output SA (4n bytes), per level the only O(n)
+// scratch is the PACKED type-bit array (n/8 bytes; levels sum to n/4).
+// The sorted-LMS list, the LMS-substring names, the reduced string, and
+// the recursive SA all live INSIDE the output SA (names keyed by
+// position>>1 fit the second half because LMS positions are never
+// adjacent; reduced string compacts right-to-left into the tail; the
+// recursion writes its SA into the head — the regions never overlap
+// because nlms <= n/2).  Bucket arrays are 8*sigma bytes per level:
+// 2 KiB at the byte level; at recursion levels sigma = #names, which for
+// real text is far below n (adversarial worst case adds <= 4n transient).
 //
 // Build: make -C gecoz_tpu/native   (g++ -O3 -shared -fPIC)
 
@@ -22,130 +35,132 @@ void sais(const T* s, int32_t* sa, int32_t n, int32_t sigma) {
   if (n == 0) return;
   if (n == 1) { sa[0] = 0; return; }
 
-  std::vector<uint8_t> is_s(n);   // 1 = S-type, 0 = L-type
+  // -- packed S/L type bits (the only O(n) scratch) -------------------------
+  std::vector<uint8_t> tb((n + 7) >> 3, 0);
+  auto set_s = [&](int32_t i) { tb[i >> 3] |= (uint8_t)(1u << (i & 7)); };
+  auto is_s = [&](int32_t i) -> bool {
+    return (tb[i >> 3] >> (i & 7)) & 1;
+  };
   // the virtual sentinel is smaller than every symbol, so the last suffix
   // is L-type, and equal runs ending at the boundary inherit L
-  is_s[n - 1] = 0;
   for (int32_t i = n - 2; i >= 0; --i)
-    is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
-
+    if (s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s(i + 1))) set_s(i);
   auto is_lms = [&](int32_t i) {
-    return i > 0 && is_s[i] && !is_s[i - 1];
+    return i > 0 && is_s(i) && !is_s(i - 1);
   };
 
-  std::vector<int32_t> bucket(sigma), bstart(sigma), bend(sigma);
+  // -- buckets ---------------------------------------------------------------
+  std::vector<int32_t> bucket(sigma, 0), bptr(sigma);
   for (int32_t i = 0; i < n; ++i) bucket[s[i]]++;
   auto reset_ends = [&]() {
     int32_t sum = 0;
-    for (int32_t c = 0; c < sigma; ++c) { sum += bucket[c]; bend[c] = sum; }
+    for (int32_t c = 0; c < sigma; ++c) { sum += bucket[c]; bptr[c] = sum; }
   };
   auto reset_starts = [&]() {
     int32_t sum = 0;
-    for (int32_t c = 0; c < sigma; ++c) { bstart[c] = sum; sum += bucket[c]; }
+    for (int32_t c = 0; c < sigma; ++c) { bptr[c] = sum; sum += bucket[c]; }
   };
 
-  auto induce = [&](bool final_pass) {
-    (void)final_pass;
-    // L-type left-to-right
+  auto induce = [&]() {
+    // L-type left-to-right (suffix n-1 has no successor: seed if L-type)
     reset_starts();
-    // the suffix starting at n-1... handled through normal traversal; but
-    // first, suffix (n-1) has no successor context: seed it if L-type.
-    if (!is_s[n - 1]) sa[bstart[s[n - 1]]++] = n - 1;
+    if (!is_s(n - 1)) sa[bptr[s[n - 1]]++] = n - 1;
     for (int32_t i = 0; i < n; ++i) {
       int32_t j = sa[i];
-      if (j > 0 && !is_s[j - 1]) sa[bstart[s[j - 1]]++] = j - 1;
+      if (j > 0 && !is_s(j - 1)) sa[bptr[s[j - 1]]++] = j - 1;
     }
     // S-type right-to-left
     reset_ends();
     for (int32_t i = n - 1; i >= 0; --i) {
       int32_t j = sa[i];
-      if (j > 0 && is_s[j - 1]) sa[--bend[s[j - 1]]] = j - 1;
+      if (j > 0 && is_s(j - 1)) sa[--bptr[s[j - 1]]] = j - 1;
     }
   };
 
   // ---- stage 1: sort LMS suffixes approximately (by LMS substring)
-  std::memset(sa, -1, sizeof(int32_t) * n);
+  std::memset(sa, -1, sizeof(int32_t) * (size_t)n);
   reset_ends();
   for (int32_t i = n - 1; i >= 1; --i)
-    if (is_lms(i)) sa[--bend[s[i]]] = i;
-  {
-    // induced sort over the partial array; -1 entries skipped
-    reset_starts();
-    if (!is_s[n - 1]) sa[bstart[s[n - 1]]++] = n - 1;
-    for (int32_t i = 0; i < n; ++i) {
-      int32_t j = sa[i];
-      if (j > 0 && !is_s[j - 1]) sa[bstart[s[j - 1]]++] = j - 1;
-    }
-    reset_ends();
-    for (int32_t i = n - 1; i >= 0; --i) {
-      int32_t j = sa[i];
-      if (j > 0 && is_s[j - 1]) sa[--bend[s[j - 1]]] = j - 1;
-    }
-  }
+    if (is_lms(i)) sa[--bptr[s[i]]] = i;
+  induce();
 
-  // ---- stage 2: name LMS substrings in sorted order
-  std::vector<int32_t> lms;  // LMS positions in text order
-  lms.reserve(n / 2);
-  for (int32_t i = 1; i < n; ++i)
-    if (is_lms(i)) lms.push_back(i);
-  int32_t nlms = (int32_t)lms.size();
+  // ---- stage 2: compact the sorted LMS positions into sa[0:nlms]
+  int32_t nlms = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t j = sa[i];
+    if (j > 0 && is_s(j) && !is_s(j - 1)) sa[nlms++] = j;
+  }
   if (nlms == 0) {
-    // no LMS: string is monotone; induced sort above already placed all
-    std::memset(sa, -1, sizeof(int32_t) * n);
-    reset_ends();
-    // all suffixes L-type: place n-1..0 by induced L pass
+    // no LMS: the string is monotone non-increasing; one L pass places all
+    std::memset(sa, -1, sizeof(int32_t) * (size_t)n);
     reset_starts();
-    sa[bstart[s[n - 1]]++] = n - 1;
+    sa[bptr[s[n - 1]]++] = n - 1;
     for (int32_t i = 0; i < n; ++i) {
       int32_t j = sa[i];
-      if (j > 0) sa[bstart[s[j - 1]]++] = j - 1;
+      if (j > 0) sa[bptr[s[j - 1]]++] = j - 1;
     }
     return;
   }
 
-  std::vector<int32_t> name_of(n, -1);
-  int32_t names = 0, prev = -1;
-  for (int32_t i = 0; i < n; ++i) {
-    int32_t j = sa[i];
-    if (j <= 0 || !is_lms(j)) continue;
+  // name LMS substrings in sorted order; names keyed by position>>1 live
+  // in sa[nlms:] (LMS positions are never adjacent, so >>1 is injective;
+  // nlms + ceil(n/2) <= n always)
+  int32_t nh = (n + 1) >> 1;
+  int32_t* names = sa + nlms;
+  std::memset(names, -1, sizeof(int32_t) * (size_t)nh);
+  int32_t last_name = -1, prev = -1;
+  for (int32_t k = 0; k < nlms; ++k) {
+    int32_t j = sa[k];
     if (prev < 0) {
-      name_of[j] = names;
+      last_name = 0;
     } else {
       // compare LMS substrings at prev and j (inclusive of next LMS char)
       bool diff = false;
       for (int32_t d = 0;; ++d) {
         int32_t a = prev + d, b = j + d;
         if (a >= n || b >= n) { diff = (a >= n) != (b >= n); break; }
-        if (s[a] != s[b] || is_s[a] != is_s[b]) { diff = true; break; }
+        if (s[a] != s[b] || is_s(a) != is_s(b)) { diff = true; break; }
         if (d > 0 && (is_lms(a) || is_lms(b))) {
           diff = !(is_lms(a) && is_lms(b));
           break;
         }
       }
-      if (diff) ++names;
-      name_of[j] = names;
+      if (diff) ++last_name;
     }
+    names[j >> 1] = last_name;
     prev = j;
   }
-  ++names;
+  int32_t num_names = last_name + 1;
 
-  // reduced string: names of LMS substrings in text order
-  std::vector<int32_t> s1(nlms);
-  for (int32_t k = 0; k < nlms; ++k) s1[k] = name_of[lms[k]];
+  // reduced string (names in text order): compact the sparse names area
+  // right-to-left into the tail of sa — destination never passes source
+  int32_t* s1 = sa + n - nlms;
+  for (int32_t i = nh - 1, w = nlms - 1; i >= 0; --i)
+    if (names[i] >= 0) s1[w--] = names[i];
 
-  std::vector<int32_t> sa1(nlms);
-  if (names < nlms) {
-    sais<int32_t>(s1.data(), sa1.data(), nlms, names);
+  // recursive SA of the reduced string goes into sa[0:nlms] (disjoint
+  // from s1: 2*nlms <= n)
+  if (num_names < nlms) {
+    sais<int32_t>(s1, sa, nlms, num_names);
   } else {
-    for (int32_t k = 0; k < nlms; ++k) sa1[s1[k]] = k;
+    for (int32_t k = 0; k < nlms; ++k) sa[s1[k]] = k;
   }
 
+  // get back LMS positions: rebuild the text-order list in the tail
+  // (overwriting s1, which is consumed), then map the reduced SA in place
+  for (int32_t i = 1, w = 0; i < n; ++i)
+    if (is_lms(i)) s1[w++] = i;
+  for (int32_t k = 0; k < nlms; ++k) sa[k] = s1[sa[k]];
+
   // ---- stage 3: induce the final order from sorted LMS suffixes
-  std::memset(sa, -1, sizeof(int32_t) * n);
+  std::memset(sa + nlms, -1, sizeof(int32_t) * (size_t)(n - nlms));
   reset_ends();
-  for (int32_t k = nlms - 1; k >= 0; --k)
-    sa[--bend[s[lms[sa1[k]]]]] = lms[sa1[k]];
-  induce(true);
+  for (int32_t k = nlms - 1; k >= 0; --k) {
+    int32_t j = sa[k];
+    sa[k] = -1;
+    sa[--bptr[s[j]]] = j;      // target >= k: sorted LMS land at final spots
+  }
+  induce();
 }
 
 }  // namespace
