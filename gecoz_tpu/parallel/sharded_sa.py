@@ -153,15 +153,30 @@ def sorted_sharded(operands: tuple, num_keys: int, axis: str,
 # -- suffix-array building blocks ---------------------------------------------
 
 def _shift_k(rank: jax.Array, k, ig: jax.Array, n: int, axis: str,
-             D: int) -> jax.Array:
-    """rank[i + k] with -1 past the global end; traced k.
+             D: int, limit=None) -> jax.Array:
+    """rank[i + k] with -1 past position `limit` (default the global end);
+    traced k.
 
-    One value-carrying global sort: element at global position i travels
-    to position i - k (dropped elements get keys past every kept key).
+    A shift is a ROTATION of the block-distributed array, not a sort:
+    rotate left by k // L whole shards (one conditional ppermute per bit
+    of the shard count), then slide the k % L remainder off the next
+    shard (one ppermute + a local dynamic slice).  ~log2(D) + 1 ppermutes
+    versus the full distributed sort a generic permutation would need.
     """
-    key = jnp.where(ig >= k, ig - k, n + ig).astype(jnp.int32)
-    _, moved = sorted_sharded((key, rank), 1, axis, D)
-    return jnp.where(ig < n - k, moved, jnp.int32(-1))
+    L = rank.shape[0]
+    k = jnp.asarray(k, jnp.int32)
+    q = k // L
+    r = k - q * L
+    y = rank
+    for b in range(max(1, (D - 1).bit_length())):
+        amt = 1 << b
+        rotated = jax.lax.ppermute(
+            y, axis, [(i, (i - amt) % D) for i in range(D)])
+        y = jnp.where(((q >> b) & 1) == 1, rotated, y)
+    nxt = jax.lax.ppermute(y, axis, [(i, (i - 1) % D) for i in range(D)])
+    y = jax.lax.dynamic_slice(jnp.concatenate([y, nxt]), (r,), (L,))
+    end = jnp.int32(n if limit is None else limit)
+    return jnp.where(ig < end - k, y, jnp.int32(-1))
 
 
 def _sort_rerank(key1, key2, pos, vals: tuple, n: int, axis: str, D: int):
@@ -331,10 +346,9 @@ def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
         pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - ig)
 
         def tshift(rank, k):
-            """Token rank[j + k] with -1 past the token-string end."""
-            key = jnp.where(ig >= k, ig - k, n + ig).astype(jnp.int32)
-            _, moved = sorted_sharded((key, rank), 1, axis, D)
-            return jnp.where(ig + k < m, moved, jnp.int32(-1))
+            """Token rank[j + k] with -1 past the token-string end
+            (a rotation, not a sort — see _shift_k)."""
+            return _shift_k(rank, k, ig, n, axis, D, limit=m)
 
         def trerank(r1, r2):
             k1 = jnp.where(ig < m, r1, pad_key1)
