@@ -124,8 +124,9 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     sym = block.bwt.astype(jnp.int32)
     _, order = jax.lax.sort((sym, iota), num_keys=2)
     lf = _apply_perm(order, iota)
+    from gecoz_tpu.ops.scan_pallas import cumsum_i32
     is_zero = sym == 0
-    zero_rank = jnp.cumsum(is_zero.astype(jnp.int32)) - 1
+    zero_rank = cumsum_i32(is_zero.astype(jnp.int32)) - 1
     corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
     lf = jnp.where(is_zero, corr, lf)
     lf = jnp.where(iota == block.wrap_row, 0, lf)

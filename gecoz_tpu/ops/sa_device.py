@@ -62,12 +62,13 @@ def _sort_rerank(key1, key2, iota):
     counts, but >3-operand lax.sort inside a while_loop blows up Mosaic
     compile time by an order of magnitude.
     """
+    from gecoz_tpu.ops.scan_pallas import cumsum_i32
     n = iota.shape[0]
     k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
-    ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
+    ranks_in_order = cumsum_i32(new_group) - 1
     rank = apply_perm(order, ranks_in_order)
     done = ranks_in_order[n - 1] == n - 1
     return rank, order, done
@@ -76,12 +77,13 @@ def _sort_rerank(key1, key2, iota):
 def _sort_rerank1(key, iota):
     """1-key variant of _sort_rerank (sorts 2 operands, not 3): for callers
     whose composite key fits one int31 word (~half the sort cost on TPU)."""
+    from gecoz_tpu.ops.scan_pallas import cumsum_i32
     n = iota.shape[0]
     ks, order = jax.lax.sort((key, iota), num_keys=1)
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (ks[1:] != ks[:-1]).astype(jnp.int32)])
-    ranks_in_order = (jnp.cumsum(new_group) - 1).astype(jnp.int32)
+    ranks_in_order = cumsum_i32(new_group) - 1
     rank = apply_perm(order, ranks_in_order)
     done = ranks_in_order[n - 1] == n - 1
     return rank, order, done
@@ -193,9 +195,11 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     else:
         codes = s.astype(jnp.int32) + 1
     nxt = jnp.concatenate([codes[1:], jnp.full((1,), -1, jnp.int32)])
+    from gecoz_tpu.ops.scan_pallas import (cummax_i32, cummin_rev_i32,
+                                           cumsum_i32)
     is_end = codes != nxt                      # last position of each run
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), is_end[:-1]])
-    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    run_id = cumsum_i32(is_start.astype(jnp.int32)) - 1
     m = run_id[n - 1] + 1                      # number of runs (traced)
     # one reverse cummin carries (run end position << 1 | below-side bit):
     # `below` = symbol after the run < run symbol (end-of-text counts
@@ -204,7 +208,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     below_end = nxt < codes
     packed = jnp.where(is_end, (iota << 1) | below_end.astype(jnp.int32),
                        jnp.int32(2) * n)
-    v = jax.lax.cummin(packed, reverse=True)
+    v = cummin_rev_i32(packed)
     nde = v >> 1                               # inclusive next run end
     below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1                       # remaining run length >= 1
@@ -324,7 +328,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         for c in range(chunks):
             chunk = (val >> (c * cb)) & ((1 << cb) - 1)
             pack = jnp.where(is_start, (iota << cb) | chunk, -1)
-            fill = jax.lax.cummax(pack)
+            fill = cummax_i32(pack)
             nr = nr | ((fill & ((1 << cb) - 1)) << (c * cb))
         nr = nr - 1
     else:

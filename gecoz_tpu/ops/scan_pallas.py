@@ -101,7 +101,11 @@ def _scan_pallas(x: jax.Array, op: str) -> jax.Array:
 
 
 def _use_pallas() -> bool:
+    # Opt-in (GECOZ_PALLAS_SCAN=1) until the kernel is validated on real
+    # hardware via tools/probe_scan.py; the SA call sites already route
+    # through these dispatchers, so flipping the default is one line.
     return (jax.default_backend() == "tpu"
+            and os.environ.get("GECOZ_PALLAS_SCAN") == "1"
             and not os.environ.get("GECOZ_NO_PALLAS"))
 
 

@@ -48,15 +48,18 @@ def _bucket_size(n: int) -> int:
 
 
 @functools.cache
-def _batched_sa(npad: int):
+def _batched_sa(npad: int, syms: tuple[int, ...] | None):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
 
     # run-aware variant: the trailing zero padding is one run, fully
     # ordered by the seed sort — the k-mer doubling variant would pay
-    # ~log2(pad length) extra rounds on it (and on genomic N runs)
-    return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(s)[0]))
+    # ~log2(pad length) extra rounds on it (and on genomic N runs).
+    # `syms` (the batch's static alphabet, when small) enables the packed
+    # 1-key seed sort — one fewer n-wide operand in the seed round.
+    return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(s,
+                                                             syms=syms)[0]))
 
 
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
@@ -73,7 +76,11 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
         batch = np.zeros((len(idxs), npad), dtype=np.uint8)
         for row, i in enumerate(idxs):
             batch[row, :len(blocks[i])] = blocks[i]
-        sa_pad = np.asarray(_batched_sa(npad)(jnp.asarray(batch)))
+        # static union alphabet (must cover every byte incl. the 0 pad)
+        syms = tuple(int(x) for x in np.unique(batch))
+        if len(syms) > 7:
+            syms = None          # packed seed only pays below 3 sym bits
+        sa_pad = np.asarray(_batched_sa(npad, syms)(jnp.asarray(batch)))
         for row, i in enumerate(idxs):
             n = len(blocks[i])
             sa = sa_pad[row]

@@ -112,9 +112,14 @@ def sorted_sharded(operands: tuple, num_keys: int, axis: str,
     """Globally sort equally-sharded operands; result block-distributed
     (device d holds global slice [d*L, (d+1)*L)).
 
-    Odd-even transposition over blocks: D rounds of neighbor
-    exchange-merge-split after a local sort.  Communication = D full-shard
-    ppermutes — nearest-neighbor only, the ICI-friendly pattern.
+    A block-level SORTING NETWORK with compare-exchange lifted to
+    exchange-merge-split (each device keeps its shard locally sorted;
+    a comparator sorts the 2L-element pair and the designated side keeps
+    the lower half — valid for any sorting network by the blockwise 0-1
+    principle).  Power-of-two device counts use the BITONIC network:
+    log2(D)(log2(D)+1)/2 exchange rounds (6 at D=8, 36 at D=256) over
+    hypercube partners; other counts fall back to odd-even transposition
+    (D rounds, nearest-neighbor only).
 
     REQUIREMENT: the first `num_keys` operands must form a globally
     DISTINCT total order.  The two sides of an exchange merge the same
@@ -128,17 +133,36 @@ def sorted_sharded(operands: tuple, num_keys: int, axis: str,
         return ops
     L = ops[0].shape[0]
     idx = jax.lax.axis_index(axis)
+
+    def exchange(ops, perm, keep_low):
+        recv = tuple(jax.lax.ppermute(a, axis, perm) for a in ops)
+        cat = tuple(jnp.concatenate([a, r]) for a, r in zip(ops, recv))
+        merged = jax.lax.sort(cat, num_keys=num_keys)
+        return tuple(jnp.where(keep_low, m[:L], m[L:]) for m in merged)
+
+    if D & (D - 1) == 0:
+        # bitonic: phase k builds sorted runs of 2^k blocks; stage j pairs
+        # devices at hypercube distance 2^j; direction flips with bit k
+        logd = D.bit_length() - 1
+        for k in range(1, logd + 1):
+            for j in range(k - 1, -1, -1):
+                dist = 1 << j
+                perm = [(i, i ^ dist) for i in range(D)]
+                asc = ((idx >> k) & 1) == 0
+                is_lower = (idx & dist) == 0
+                ops = exchange(ops, perm, asc == is_lower)
+        return ops
+
     for rnd in range(D):
         if rnd % 2 == 0:
             pairs = [(i, i + 1) for i in range(0, D - 1, 2)]
         else:
             pairs = [(i, i + 1) for i in range(1, D - 1, 2)]
         perm = []
-        for a, b in pairs:
-            perm += [(a, b), (b, a)]
         lo = jnp.zeros((), jnp.bool_)
         hi = jnp.zeros((), jnp.bool_)
         for a, b in pairs:
+            perm += [(a, b), (b, a)]
             lo = lo | (idx == a)
             hi = hi | (idx == b)
         recv = tuple(jax.lax.ppermute(a, axis, perm) for a in ops)
@@ -356,18 +380,51 @@ def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
             rank, _, _, done = _sort_rerank(k1, k2, ig, (), n, axis, D)
             return rank, done
 
+        # Adaptive rank packing (ops/sa_device.py:247-289, distributed):
+        # while the global group count G fits, 2-3 ranks pack into each
+        # int32 sort key so one round covers 4k/6k tokens instead of 2k.
+        # Shifts are rotations (cheap), so the extra operands cost ~4
+        # ppermutes against whole distributed sort rounds saved.
+        t3 = 1
+        while (t3 + 1) ** 3 <= (1 << 31) - n - 2:
+            t3 += 1
+        t2 = 1
+        while (t2 + 1) ** 2 <= (1 << 31) - n - 2:
+            t2 += 1
+
+        def packed_round(rank, k):
+            B = jax.lax.pmax(
+                jnp.max(jnp.where(ig < m, rank, -1)), axis) + 2
+
+            def sh(t):
+                off = jnp.where(k > n // t, jnp.int32(n), t * k)
+                return tshift(rank, off) + 1
+            r0 = rank
+            r1, r2, r3, r4, r5 = sh(1), sh(2), sh(3), sh(4), sh(5)
+            p3 = B <= t3
+            p2 = B <= t2
+            key1 = jnp.where(
+                p3, (r0 * B + r1) * B + r2,
+                jnp.where(p2, r0 * B + r1, r0))
+            key2 = jnp.where(
+                p3, (r3 * B + r4) * B + r5,
+                jnp.where(p2, r2 * B + r3, r1))
+            rank, done = trerank(key1, key2)
+            mult = jnp.where(p3, 6, jnp.where(p2, 4, 2)).astype(jnp.int32)
+            mult = jnp.where(k > ((1 << 31) - 1) // 6, 2, mult)
+            return rank, k * mult, done
+
         def body(state):
             rank, k, _ = state
-            rank, done = trerank(rank, tshift(rank, k))
-            return rank, k * 2, done
+            return packed_round(rank, k)
 
         def cond(state):
             _, k, done = state
             return jnp.logical_and(~done, k < 2 * n)
 
-        rank, done1 = trerank(tok, tshift(tok, jnp.int32(1)))
+        rank, k1, done1 = packed_round(tok, jnp.int32(1))
         rank, _, _ = jax.lax.while_loop(
-            cond, body, (rank, jnp.int32(2), done1 | done0))
+            cond, body, (rank, k1, done1 | done0))
 
         # -- rank of the NEXT run's start, broadcast over each run ----------
         nrank = tshift(rank, 1)
