@@ -73,7 +73,9 @@ def main() -> None:
             d = jax.device_put(jnp.asarray(s), dev)
             t0 = time.perf_counter()
             sa, bwt = comp(d)
-            jax.block_until_ready((sa, bwt))
+            # block_until_ready is a no-op on the remote relay backend;
+            # force completion with a scalar fetch instead
+            int(np.asarray(sa[-1]))
             dt = time.perf_counter() - t0
             sa_np = np.asarray(sa)
             # exactness spot check: suffixes at sampled SA ranks are sorted
