@@ -55,10 +55,12 @@ class DeviceFMBlock(NamedTuple):
     lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
                             # block fits 24-bit rows, else uint32 [n,2]
                             # (lf, sym) pairs; empty when not built
-    lfk_tab: jax.Array      # k-step decode table (k = 4 or 8): uint32
-                            # [n, 1 + k//4] rows of (LF^k, then k/4 words
-                            # of 4 packed symbols each — word w bit 8*j =
-                            # symbol at LF^(4w+j)); empty when not built
+    lfk_tab: jax.Array      # k-step decode table: uint32 [n, 2] rows.
+                            # k=8: (LF^8, eight 4-bit PLANE codes — bits
+                            # 4j = code of the symbol at LF^j); k=4:
+                            # (LF^4, four bytes — bits 8j = symbol at
+                            # LF^j).  The k is recorded in lfk_k (static);
+                            # empty when not built
     kmer_tab: jax.Array     # stacked k-mer seed table: int32 [T,2] rows of
                             # (sp, ep) after backward-searching every
                             # plane-coded string of length 1..kmer_k;
@@ -66,6 +68,7 @@ class DeviceFMBlock(NamedTuple):
     sf: int                 # sampling factor (static)
     kmer_bits: int = 0      # bits per plane-coded symbol (static)
     kmer_k: int = 0         # max seeded suffix length (static)
+    lfk_k: int = 0          # LF steps per lfk_tab row (4 or 8; static)
 
     @property
     def n(self) -> int:
@@ -86,7 +89,7 @@ class DeviceFMBlock(NamedTuple):
     @property
     def lfk_steps(self) -> int:
         """LF steps per fused-table gather (4 or 8; static)."""
-        return (self.lfk_tab.shape[1] - 1) * 4
+        return self.lfk_k
 
     @property
     def has_kmer(self) -> bool:
@@ -95,7 +98,7 @@ class DeviceFMBlock(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     DeviceFMBlock,
-    lambda b: (tuple(b[:-3]), tuple(b[-3:])),
+    lambda b: (tuple(b[:-4]), tuple(b[-4:])),
     lambda aux, leaves: DeviceFMBlock(*leaves, *aux),
 )
 
@@ -148,6 +151,25 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     # sort inverts the permutation, then the values return to position
     # order via _apply_perm (extra value operands ride along ~free).
     # Random gathers cost ~30ms/4Mi and scatters ~25ms on v5e; a sort ~8ms.
+    rate = 1 << block.sf
+    if rate % 8 == 0:
+        # k=8, 8-byte rows: the eight symbols ride as 4-bit PLANE codes
+        # (sigma <= 16), decoded back to bytes by a 16-way select in the
+        # walk loop — gather cost scales with ROW BYTES (measured 35.8 vs
+        # 59.7 ns/row for 8 vs 12 bytes), so the packed row wins ~1.5x
+        pc = jnp.maximum(block.sym_plane[sym], 0).astype(jnp.uint32)
+        _, i1 = jax.lax.sort((lf, iota), num_keys=1)
+        lf2, q1 = _apply_perm(i1, lf, pc)
+        c2 = pc | (q1 << 4)
+        _, i2 = jax.lax.sort((lf2, iota), num_keys=1)
+        lf4, q2 = _apply_perm(i2, lf2, c2)
+        c4 = c2 | (q2 << 8)
+        _, i4 = jax.lax.sort((lf4, iota), num_keys=1)
+        lf8, q4 = _apply_perm(i4, lf4, c4)
+        c8 = c4 | (q4 << 16)
+        lfk_tab = jnp.stack([lf8.astype(jnp.uint32), c8], axis=1)
+        return block._replace(lf_tab=tab, lfk_tab=lfk_tab, lfk_k=8)
+
     sym32 = block.bwt.astype(jnp.uint32)
     _, i1 = jax.lax.sort((lf, iota), num_keys=1)
     lf2, t1 = _apply_perm(i1, lf, sym32)
@@ -155,14 +177,8 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     _, i2 = jax.lax.sort((lf2, iota), num_keys=1)
     lf4, t2 = _apply_perm(i2, lf2, s2)
     s4 = s2 | (t2 << 16)
-    rate = 1 << block.sf
-    if rate % 8 == 0:
-        _, i4 = jax.lax.sort((lf4, iota), num_keys=1)
-        lf8, t4 = _apply_perm(i4, lf4, s4)   # t4 = syms at LF^4..LF^7
-        lfk_tab = jnp.stack([lf8.astype(jnp.uint32), s4, t4], axis=1)
-    else:
-        lfk_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
-    return block._replace(lf_tab=tab, lfk_tab=lfk_tab)
+    lfk_tab = jnp.stack([lf4.astype(jnp.uint32), s4], axis=1)
+    return block._replace(lf_tab=tab, lfk_tab=lfk_tab, lfk_k=4)
 
 
 def _lf_step(block: DeviceFMBlock, idx):
@@ -541,22 +557,36 @@ def decode_text_jit(block: DeviceFMBlock):
         return lf_batch(block, idx), block.bwt[idx]
 
     if W and block.has_lfk and rate % block.lfk_steps == 0:
-        # k positions per fused-table gather: each round emits one k-wide
-        # column block from the packed symbol words (ascending column =
-        # descending LF step), rounds concatenated in reverse
+        # k positions per 8-byte fused-table gather: each round emits one
+        # k-wide column block from the packed symbol word (ascending
+        # column = descending LF step), rounds concatenated in reverse
         k = block.lfk_steps
+        if k == 8:
+            # inverse plane map as 16 tiny reductions (no gather): the
+            # byte whose plane row is r
+            idx256 = jnp.arange(256, dtype=jnp.uint32)
+            inv = [jnp.sum(jnp.where(block.sym_plane == r, idx256, 0))
+                   for r in range(16)]
         cols = []
         idx = seeds
         for _ in range(rate // k):
             row = block.lfk_tab[idx]
-            blockcols = []
-            for w in range(k // 4, 0, -1):      # latest steps first
-                sw = row[..., w]
-                blockcols += [(sw >> 24).astype(jnp.uint8),
-                              ((sw >> 16) & 255).astype(jnp.uint8),
-                              ((sw >> 8) & 255).astype(jnp.uint8),
-                              (sw & 255).astype(jnp.uint8)]
-            cols.append(jnp.stack(blockcols, axis=1))
+            sw = row[..., 1]
+            if k == 8:
+                # eight 4-bit plane codes, step j at bits 4j
+                codes = jnp.stack(
+                    [(sw >> (4 * j)) & 15 for j in range(7, -1, -1)],
+                    axis=1)                      # [W, 8], latest first
+                syms = jnp.zeros_like(codes)
+                for r in range(16):
+                    syms = jnp.where(codes == r, inv[r], syms)
+                cols.append(syms.astype(jnp.uint8))
+            else:
+                cols.append(jnp.stack(
+                    [(sw >> 24).astype(jnp.uint8),
+                     ((sw >> 16) & 255).astype(jnp.uint8),
+                     ((sw >> 8) & 255).astype(jnp.uint8),
+                     (sw & 255).astype(jnp.uint8)], axis=1))
             idx = row[..., 0].astype(jnp.int32)
         out = jnp.concatenate(cols[::-1], axis=1)
     elif W:
