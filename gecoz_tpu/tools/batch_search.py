@@ -33,7 +33,11 @@ def find_batched(fm, patterns: list[bytes],
     if not patterns:
         return []
     if device_block is None:
-        device_block = fmq.with_kmer_table(fmq.device_block_from_fm(fm))
+        # kmer table seeds the searches; the fused LF table (decode=False:
+        # no LF^k) makes each locate-walk step ONE gather instead of three
+        device_block = fmq.with_lf_table(
+            fmq.with_kmer_table(fmq.device_block_from_fm(fm)),
+            decode=False)
     arr, lens = pack_patterns(patterns)
     sp, ep = fmq.search_batch(device_block, jnp.asarray(arr),
                               jnp.asarray(lens))
