@@ -52,9 +52,10 @@ class DeviceFMBlock(NamedTuple):
     mark_pre: jax.Array     # int32 [W]
     ssa_perm: jax.Array     # int32 [m] sampled SA values >> sf, row order
     ssa_inv: jax.Array      # int32 [m] inverse permutation
-    lf_tab: jax.Array       # fused LF table: uint32 [(lf<<8)|sym] when the
-                            # block fits 24-bit rows, else uint32 [n,2]
-                            # (lf, sym) pairs; empty when not built
+    lf_tab: jax.Array       # fused LF table, uint32 [n]: ((lf<<8)|sym)
+                            # when the block fits 24-bit rows, else plain
+                            # lf (symbols fetched from bwt only where a
+                            # step needs them); empty when not built
     lfk_tab: jax.Array      # k-step decode table: uint32 [n, 2] rows.
                             # k=8: (LF^8, eight 4-bit PLANE codes — bits
                             # 4j = code of the symbol at LF^j); k=4:
@@ -81,6 +82,11 @@ class DeviceFMBlock(NamedTuple):
     @property
     def has_lf(self) -> bool:
         return self.lf_tab.shape[0] > 0
+
+    @property
+    def lf_packed(self) -> bool:
+        """lf_tab rows carry the symbol in the low byte (small blocks)."""
+        return self.bwt.shape[0] < _PACK_LIMIT
 
     @property
     def has_lfk(self) -> bool:
@@ -136,9 +142,10 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     if n < _PACK_LIMIT:
         tab = (lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
     else:
-        # rows don't fit 24 bits: (lf, sym) side by side, one 2-wide gather
-        tab = jnp.stack([lf.astype(jnp.uint32),
-                         block.bwt.astype(jnp.uint32)], axis=1)
+        # rows don't fit 24 bits: plain lf — locate walks then gather 4
+        # bytes per step; the rare steps that also need the symbol read
+        # bwt separately
+        tab = lf.astype(jnp.uint32)
     if not decode:
         return block._replace(lf_tab=tab)
 
@@ -183,11 +190,17 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
 
 def _lf_step(block: DeviceFMBlock, idx):
     """(next_idx, symbol) via the fused table, batched."""
-    if block.lf_tab.ndim == 2:
-        pair = block.lf_tab[idx]
-        return pair[..., 0].astype(jnp.int32), pair[..., 1].astype(jnp.uint8)
     v = block.lf_tab[idx]
-    return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
+    if block.lf_packed:
+        return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
+    return v.astype(jnp.int32), block.bwt[idx]
+
+
+def _lf_next(block: DeviceFMBlock, idx):
+    """Next row only (locate walks don't need the symbol: 4-byte gather)."""
+    v = block.lf_tab[idx]
+    return (v >> 8).astype(jnp.int32) if block.lf_packed \
+        else v.astype(jnp.int32)
 
 
 def _bit_plane(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -371,8 +384,7 @@ def occ_inclusive(block: DeviceFMBlock, syms, pos):
 def lf_batch(block: DeviceFMBlock, idx):
     """Corrected LF mapping for rows `idx` (batched)."""
     if block.has_lf:
-        nxt, _ = _lf_step(block, idx)
-        return nxt
+        return _lf_next(block, idx)
     syms = block.bwt[idx].astype(jnp.int32)
     occ = occ_inclusive(block, syms, idx)       # inclusive, >= 1
     plain = block.c[syms] + occ - 1

@@ -35,7 +35,7 @@ VMEM_ROWS_LIMIT = 2 << 20
 
 def fits_vmem(block: DeviceFMBlock) -> bool:
     """True when the block's packed LF table can live in VMEM."""
-    return (block.has_lf and block.lf_tab.ndim == 1
+    return (block.has_lf and block.lf_packed
             and 0 < block.n <= VMEM_ROWS_LIMIT)
 
 
