@@ -50,6 +50,9 @@ class DeviceFMBlock(NamedTuple):
     wrap_row: jax.Array     # int32 [] row with SA value 0
     mark_words: jax.Array   # uint32 [W] sampled-row bit plane
     mark_pre: jax.Array     # int32 [W]
+    mark_rows: jax.Array    # int32 [m] sampled row positions, ascending
+                            # (the select-1 table: walk seeding is one
+                            # gather instead of a per-walk binary search)
     ssa_perm: jax.Array     # int32 [m] sampled SA values >> sf, row order
     ssa_inv: jax.Array      # int32 [m] inverse permutation
     lf_tab: jax.Array       # fused LF table, uint32 [n]: ((lf<<8)|sym)
@@ -243,6 +246,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
     mark_bits = np.zeros(n, dtype=np.uint8)
     mark_bits[sampled_rows] = 1
     mark_words, mark_pre = _bit_plane(mark_bits)
+    mark_rows = np.sort(np.asarray(sampled_rows)).astype(np.int32)
 
     perm = np.asarray(ssa_perm, dtype=np.int32)
     inv = np.zeros(len(perm), dtype=np.int32)
@@ -258,6 +262,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         wrap_row=jnp.asarray(np.int32(wrap_row)),
         mark_words=jnp.asarray(mark_words),
         mark_pre=jnp.asarray(mark_pre),
+        mark_rows=jnp.asarray(mark_rows),
         ssa_perm=jnp.asarray(perm),
         ssa_inv=jnp.asarray(inv),
         lf_tab=jnp.zeros((0,), jnp.int32),
@@ -330,13 +335,16 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
     if _scatter_is_cheap():
         (rows,) = jnp.nonzero(marked, size=m, fill_value=0)
         perm = (sa[rows] >> sf).astype(jnp.int32)
+        mark_rows = rows.astype(jnp.int32)
     else:
         # sampled values in row order via one stable partition sort (marked
-        # rows first) — compacting via nonzero+gather is ~4x a sort on TPU
+        # rows first) — compacting via nonzero+gather is ~4x a sort on TPU;
+        # the row positions ride as the second key = the select-1 table
         iota = jnp.arange(sa.shape[0], dtype=jnp.int32)
-        _, _, vals = jax.lax.sort(
+        _, rows_s, vals = jax.lax.sort(
             ((~marked).astype(jnp.int32), iota, sa >> sf), num_keys=2)
         perm = vals[:m].astype(jnp.int32)
+        mark_rows = rows_s[:m].astype(jnp.int32)
     inv = jnp.zeros((m,), jnp.int32).at[perm].set(
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)
@@ -346,7 +354,7 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
     return DeviceFMBlock(
         bwt=bwt, plane_pairs=pairs,
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
-        mark_words=mark_words, mark_pre=mark_pre,
+        mark_words=mark_words, mark_pre=mark_pre, mark_rows=mark_rows,
         ssa_perm=perm, ssa_inv=inv,
         lf_tab=jnp.zeros((0,), jnp.int32),
         lfk_tab=jnp.zeros((0, 2), jnp.uint32),
@@ -634,20 +642,10 @@ def decode_text_jit(block: DeviceFMBlock):
 
 
 def _row_with_sa(block: DeviceFMBlock, value):
-    """Row whose SA value is `value` (a sampled multiple of the rate)."""
+    """Row whose SA value is `value` (a sampled multiple of the rate):
+    two small gathers through the select table, batched."""
     j = block.ssa_inv[value >> block.sf]
-    # position of the (j+1)'th set bit in mark: binary search on word_pre
-    target = j + 1
-    W = block.mark_pre.shape[0]
-    w = jnp.searchsorted(block.mark_pre, target, side="left") - 1
-    w = jnp.clip(w, 0, W - 1)
-    within = target - block.mark_pre[w]          # 1-based one in word w
-    word = block.mark_words[w]
-    # select bit: prefix popcounts over the word
-    bits = (word[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
-    cum = jnp.cumsum(bits.astype(jnp.int32), axis=-1)
-    bitpos = jnp.argmax(cum == within[..., None], axis=-1)
-    return (w * 32 + bitpos).astype(jnp.int32)
+    return block.mark_rows[j]
 
 
 def decode_text_device(fm) -> np.ndarray:
