@@ -425,9 +425,12 @@ def with_kmer_table(block: DeviceFMBlock, k: int | None = None
     nplanes = block.plane_pairs.shape[0] // max(block.W, 1)
     bits = max(1, (nplanes - 1).bit_length())
     if k is None:
-        # table capped at ~2^19 rows and at ~n rows (tiny blocks get
-        # proportionally tiny tables)
-        k = max(1, min(8, 19 // bits,
+        # table capped at ~2^19 rows (2^21 for blocks >= 4 MiB, where the
+        # ~16 MB table is negligible next to the block state and each
+        # extra seeded character removes a full lockstep occ round) and
+        # at ~n rows (tiny blocks get proportionally tiny tables)
+        cap = 21 if block.n >= (1 << 22) else 19
+        k = max(1, min(8, cap // bits,
                        int(max(block.n, 2)).bit_length() // bits))
     # inverse plane map: plane row -> symbol byte
     rows = block.sym_plane
