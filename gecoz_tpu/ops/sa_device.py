@@ -336,7 +336,22 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         nr = nrank[run_id]
 
     s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
-    if n < (1 << 23):
+    if pack_seed and n < (1 << 27):
+        # fold (position, BWT as a 4-bit dense code) into one value
+        # operand — one fewer n-wide operand in the final sort up to
+        # 128 Mi; the static alphabet turns codes back into bytes with a
+        # sigma-way select (no gather)
+        cp = jnp.zeros((n,), jnp.int32)
+        for sym in syms:
+            cp = cp + (s_prev >= jnp.uint8(sym)).astype(jnp.int32)
+        packed_ib = (iota << 4) | cp
+        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2)
+        order = ob >> 4
+        code = ob & 15
+        bwt = jnp.zeros((n,), jnp.uint8)
+        for i, sym in enumerate(sorted(syms)):
+            bwt = jnp.where(code == i + 1, jnp.uint8(sym), bwt)
+    elif n < (1 << 23):
         # fold (position, BWT byte) into one value operand — one fewer
         # n-wide operand in the final sort (fits int31 below 8 Mi)
         packed_ib = (iota << 8) | s_prev.astype(jnp.int32)
