@@ -110,16 +110,30 @@ def _use_pallas() -> bool:
             and not os.environ.get("GECOZ_NO_PALLAS"))
 
 
+def _is_batched(x) -> bool:
+    """True when `x` is being traced under vmap — the kernel's sequential
+    grid + SMEM carry has no sound batching rule (a vmapped pallas_call
+    crashed the TPU worker in the mesh encode path), so batched callers
+    take the jnp fallback."""
+    try:
+        from jax._src.interpreters import batching
+        return isinstance(x, batching.BatchTracer)
+    except Exception:               # noqa: BLE001 — private API moved
+        return True                 # can't tell: be safe, use jnp
+
+
 def cumsum_i32(x: jax.Array) -> jax.Array:
     """Inclusive cumsum, int32 (single-pass on TPU)."""
-    if x.ndim != 1 or x.shape[0] < 2 * _C or not _use_pallas():
+    if x.ndim != 1 or x.shape[0] < 2 * _C or _is_batched(x) \
+            or not _use_pallas():
         return jnp.cumsum(x.astype(jnp.int32)).astype(jnp.int32)
     return _scan_pallas(x.astype(jnp.int32), "add")
 
 
 def cummax_i32(x: jax.Array) -> jax.Array:
     """Inclusive cummax, int32 (single-pass on TPU)."""
-    if x.ndim != 1 or x.shape[0] < 2 * _C or not _use_pallas():
+    if x.ndim != 1 or x.shape[0] < 2 * _C or _is_batched(x) \
+            or not _use_pallas():
         return jax.lax.cummax(x)
     return _scan_pallas(x, "max")
 
@@ -127,6 +141,7 @@ def cummax_i32(x: jax.Array) -> jax.Array:
 def cummin_rev_i32(x: jax.Array) -> jax.Array:
     """Inclusive REVERSE cummin, int32 (flip + single forward pass + flip
     on TPU — still 3 linear passes vs XLA's ~log2(n))."""
-    if x.ndim != 1 or x.shape[0] < 2 * _C or not _use_pallas():
+    if x.ndim != 1 or x.shape[0] < 2 * _C or _is_batched(x) \
+            or not _use_pallas():
         return jax.lax.cummin(x, reverse=True)
     return jnp.flip(_scan_pallas(jnp.flip(x), "min"))

@@ -67,6 +67,19 @@ def _batched_sa(npad: int, syms: tuple[int, ...] | None):
                                                              syms=syms)[0]))
 
 
+@functools.cache
+def _single_sa(npad: int, syms: tuple[int, ...] | None):
+    import jax
+
+    from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
+
+    # singleton buckets skip vmap: chr1-class blocks get the un-batched
+    # kernel (minimal memory, and the Pallas streaming scans apply — they
+    # fall back under vmap, which has no sound batching rule for the
+    # sequential-carry kernel)
+    return jax.jit(lambda s: _suffix_array_runs_jit(s, syms=syms)[0])
+
+
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
     """True suffix arrays for variable-length blocks via one padded,
     vmapped device sort per size bucket."""
@@ -85,7 +98,11 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
         syms = tuple(int(x) for x in np.unique(batch))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        sa_pad = np.asarray(_batched_sa(npad, syms)(jnp.asarray(batch)))
+        if len(idxs) == 1:
+            sa_pad = np.asarray(_single_sa(npad, syms)(
+                jnp.asarray(batch[0])))[None]
+        else:
+            sa_pad = np.asarray(_batched_sa(npad, syms)(jnp.asarray(batch)))
         for row, i in enumerate(idxs):
             n = len(blocks[i])
             sa = sa_pad[row]
