@@ -56,7 +56,7 @@ def timeit(fn, *args, repeat=3):
     return best
 
 
-def _probe_accelerator(timeout_s: int = 180, attempts: int = 3) -> bool:
+def _probe_accelerator(timeout_s: int = 180, attempts: int = 6) -> bool:
     """True if the default JAX backend completes a trivial jit in time.
 
     The remote-TPU relay in some environments can wedge or need cool-down
@@ -75,7 +75,9 @@ def _probe_accelerator(timeout_s: int = 180, attempts: int = 3) -> bool:
             pass
         print(f"# accelerator probe {attempt + 1}/{attempts} failed",
               file=sys.stderr)
-        time.sleep(45)
+        # the relay wedges for minutes at a time and recovers; wait out a
+        # typical wedge before conceding to the CPU fallback
+        time.sleep(60)
     return False
 
 
