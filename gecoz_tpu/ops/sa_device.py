@@ -242,26 +242,38 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
             (ckey, rank0, iota), num_keys=1)
         tok = jnp.where(iota < m, start_rank, n + iota)
 
+    # Re-densify over the TOKEN string: tok holds seed ranks that are dense
+    # over all n *positions*, but a megabase run contributes one distinct
+    # (c, side, ell) key per member position and only ONE token — so token
+    # values are sparse (measured: 21,035 position-ranks vs 64 start-ranks
+    # on a 4 MiB genomic block).  The adaptive packing below keys off the
+    # max rank; without re-densifying, any long run pushes it past every
+    # packing threshold and each round degrades to depth-2 coverage on
+    # exactly the runs-heavy blocks this path exists for.  Two cheap
+    # 2-operand sorts here buy back several full doubling rounds.
+    tok, _, _ = _sort_rerank1(tok, iota)
+
     def shifted(r, k):
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
         out = jax.lax.dynamic_slice(padded, (k,), (n,))
         # the token string ends at slot m, not n: past-the-end reads -1
         return jnp.where(iota + k >= m, -1, out)
 
-    # Adaptive rank packing: while the group count G is small, p = 2 or 3
+    # Adaptive rank packing: while the group count G is small, p in 2..5
     # ranks fit one int32 key ((G+1)^p below the pad-key band), so each
     # 2-key sort round covers 2p*k tokens instead of 2k — the early rounds
-    # quadruple/sextuple the depth at identical sort cost, with the p
-    # selected at runtime via `where` (shapes and the loop body stay
-    # static; no Mosaic-hostile wide sorts).  Padding slots get keys in
-    # the reserved top band (INT32_MAX - n, INT32_MAX] so they always sort
-    # last whatever the packing.
-    t3 = 1
-    while (t3 + 1) ** 3 <= (1 << 31) - n - 2:
-        t3 += 1
-    t2 = 1
-    while (t2 + 1) ** 2 <= (1 << 31) - n - 2:
-        t2 += 1
+    # multiply the depth at identical sort cost, with the p selected at
+    # runtime via `where` (shapes and the loop body stay static; no
+    # Mosaic-hostile wide sorts).  Padding slots get keys in the reserved
+    # top band (INT32_MAX - n, INT32_MAX] so they always sort last
+    # whatever the packing.
+    lim = (1 << 31) - n - 2
+    tp = {}
+    for p in (2, 3, 4, 5):
+        t = 1
+        while (t + 1) ** p <= lim:
+            t += 1
+        tp[p] = t
     pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - iota)
 
     def packed_round(rank, k):
@@ -272,24 +284,27 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
             # -1 anyway); the where discards the wrapped product safely
             off = jnp.where(k > n // t, jnp.int32(n), t * k)
             return shifted(rank, off) + 1
-        r0 = rank
-        r1, r2, r3, r4, r5 = sh(1), sh(2), sh(3), sh(4), sh(5)
-        p3 = B <= t3
-        p2 = B <= t2
-        key1 = jnp.where(
-            p3, (r0 * B + r1) * B + r2,
-            jnp.where(p2, r0 * B + r1, r0))
-        key2 = jnp.where(
-            p3, (r3 * B + r4) * B + r5,
-            jnp.where(p2, r2 * B + r3, r1))
+        r = [rank] + [sh(t) for t in range(1, 10)]
+
+        def pack(vals, B):
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = acc * B + v        # wraps harmlessly when unselected
+            return acc
+        # deepest packing whose worst-case key stays below the pad band
+        key1, key2, mult = r[0], r[1], jnp.int32(2)
+        for p in (2, 3, 4, 5):
+            ok = B <= tp[p]
+            key1 = jnp.where(ok, pack(r[:p], B), key1)
+            key2 = jnp.where(ok, pack(r[p:2 * p], B), key2)
+            mult = jnp.where(ok, jnp.int32(2 * p), mult)
         key1 = jnp.where(iota < m, key1, pad_key1)
         key2 = jnp.where(iota < m, key2, 0)
         rank, _, done = _sort_rerank(key1, key2, iota)
         # k invariant: rank entering a round always orders by < n tokens
         # (depth >= n makes all ranks distinct, so done exits first); cap
-        # the multiplier where k*6 could wrap int32 (k*2 never can)
-        mult = jnp.where(p3, 6, jnp.where(p2, 4, 2)).astype(jnp.int32)
-        mult = jnp.where(k > ((1 << 31) - 1) // 6, 2, mult)
+        # the multiplier where k*10 could wrap int32 (k*2 never can)
+        mult = jnp.where(k > ((1 << 31) - 1) // 10, 2, mult)
         return rank, k * mult, done
 
     def body(state):

@@ -80,6 +80,22 @@ def test_runs_random_with_runs(rng):
         assert np.array_equal(runs_sa(s), suffix_array_numpy(s)), trial
 
 
+def test_runs_genomic_block_deep_packing(rng):
+    """Bench-shaped block: mostly random DNA + one long N run.
+
+    The long run makes seed ranks dense over positions but sparse over run
+    starts; after the token re-densify the packing bound drops to a few
+    dozen, so this exercises the deepest (p=5) adaptive-packing branch.
+    Bit-exactness against the host oracle is the whole contract.
+    """
+    n = 1 << 18
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    s[1000:1000 + (1 << 14)] = ord("N")     # 16 Ki N run
+    s[n // 2] = 0
+    s[n - 1] = 0
+    assert np.array_equal(runs_sa(s), suffix_array_numpy(s))
+
+
 def test_runs_equal_length_runs_different_tails(rng):
     # same (symbol, side, length) run keys, resolved only by tails
     s = np.frombuffer(b"CNNNNAC" b"CNNNNAG" b"CNNNNAA\0", np.uint8)
