@@ -76,8 +76,8 @@ def _make_kernel(op: str):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
-def _scan_pallas(x: jax.Array, op: str) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def _scan_pallas(x: jax.Array, op: str, interpret: bool = False) -> jax.Array:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -96,6 +96,7 @@ def _scan_pallas(x: jax.Array, op: str) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
     )(xp)
     return out.reshape(-1)[:n]
 

@@ -51,7 +51,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.4.35 stable location
+    from jax import shard_map
+except ImportError:                     # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 # -- collective building blocks (inside shard_map) ---------------------------

@@ -33,7 +33,7 @@ def _dna(rng, n, runs=True):
 def test_sorted_sharded_ties_and_values(rng):
     """Distributed sort: globally sorted keys, values routed with their
     keys, ties broken by the position key (the distinctness contract)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
     n = 1 << 14
     k = rng.integers(0, 37, size=n).astype(np.int32)      # heavy ties
