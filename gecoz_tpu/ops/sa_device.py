@@ -224,34 +224,41 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         key2 = jnp.where(below, ell, -ell)
         rank0, _, done0 = _sort_rerank(key1, key2, iota)
 
-    # compact to the token string: slot j = rank0 at run j's start; padding
-    # slots m..n-1 get large distinct keys so they sort last and stay inert.
+    # Compact to the token string: slot j = seed rank at run j's start,
+    # RE-DENSIFIED over token values.  Seed ranks are dense over all n
+    # *positions*, but a megabase run contributes one distinct
+    # (c, side, ell) key per member position and only ONE token — so token
+    # values are sparse (measured: 335,616 position-ranks vs 73
+    # start-ranks on the 64 MiB bench block).  The adaptive packing below
+    # keys off the max rank; without re-densifying, any long run pushes
+    # the first round past every packing threshold.  Padding slots
+    # m..n-1 get large distinct keys so they sort last and stay inert.
     starts_full = None
     if _scatter_is_cheap():
         drop = jnp.where(is_start, run_id, n)
         tok = (n + iota).at[drop].set(rank0, mode="drop")
+        tok, _, _ = _sort_rerank1(tok, iota)       # densify (cheap on CPU)
     else:
-        # compaction = one stable partition sort (run starts first, in
-        # position order), cheaper than a scattered write on TPU; iota
-        # rides as an extra value so starts_full[j] = position of the
-        # j-th run start (consumed by the nr fill below).  The partition
-        # bit packs above the position (n < 2^30 per the guard), making
-        # this a 1-key 3-operand sort
-        ckey = jnp.where(is_start, iota, (1 << 30) + iota)
-        _, start_rank, starts_full = jax.lax.sort(
-            (ckey, rank0, iota), num_keys=1)
-        tok = jnp.where(iota < m, start_rank, n + iota)
-
-    # Re-densify over the TOKEN string: tok holds seed ranks that are dense
-    # over all n *positions*, but a megabase run contributes one distinct
-    # (c, side, ell) key per member position and only ONE token — so token
-    # values are sparse (measured: 21,035 position-ranks vs 64 start-ranks
-    # on a 4 MiB genomic block).  The adaptive packing below keys off the
-    # max rank; without re-densifying, any long run pushes it past every
-    # packing threshold and each round degrades to depth-2 coverage on
-    # exactly the runs-heavy blocks this path exists for.  Two cheap
-    # 2-operand sorts here buy back several full doubling rounds.
-    tok, _, _ = _sort_rerank1(tok, iota)
+        # Fused compaction + densify in two sorts (vs one compaction sort
+        # + a separate two-sort rerank):
+        #  1. value sort: starts first, ordered by seed rank (stable by
+        #     position) — group boundaries give dense ranks over start
+        #     VALUES via one cumsum;
+        #  2. position sort of the first m slots — lands dense ranks in
+        #     token-slot order; the carried position doubles as
+        #     starts_full[j] = position of the j-th run start (consumed
+        #     by the nr fill below).  Partition keys pack above the
+        #     position (n < 2^30 per the guard).
+        vkey = jnp.where(is_start, rank0, n + iota)
+        vks, order1 = jax.lax.sort((vkey, iota), num_keys=1)
+        new_group = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            (vks[1:] != vks[:-1]).astype(jnp.int32)])
+        dvr = cumsum_i32(new_group) - 1
+        pkey = jnp.where(iota < m, order1, (1 << 30) + iota)
+        _, dense_rank, starts_full = jax.lax.sort(
+            (pkey, dvr, order1), num_keys=1)
+        tok = jnp.where(iota < m, dense_rank, n + iota)
 
     def shifted(r, k):
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])

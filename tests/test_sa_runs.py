@@ -102,6 +102,31 @@ def test_runs_equal_length_runs_different_tails(rng):
     assert np.array_equal(runs_sa(s), suffix_array_naive(s))
 
 
+def test_tpu_sort_paths_on_cpu(rng, monkeypatch):
+    """Force the TPU strategy (sorts instead of scatters) on the CPU
+    backend: exercises apply_perm-as-sort, the fused compaction+densify
+    two-sort pipeline, and the placement-sort + segmented-cummax nr fill —
+    the branches the real chip runs but plain CPU tests never reach."""
+    from gecoz_tpu.ops import sa_device
+    monkeypatch.setattr(sa_device, "_scatter_is_cheap", lambda: False)
+    jax.clear_caches()   # drop traces compiled with the scatter strategy
+    try:
+        for trial in range(3):
+            n = int(rng.integers(200, 2000)) * 2 + 1   # odd, fresh shapes
+            s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+            s[50:50 + n // 3] = ord("N")
+            s[n - 1] = 0
+            syms = tuple(int(x) for x in np.unique(s))
+            sa, bwt = sa_device._suffix_array_runs_jit(
+                jnp.asarray(s), syms=syms)
+            assert np.array_equal(np.asarray(sa), suffix_array_numpy(s))
+            from gecoz_tpu.ops.sa import bwt_from_sa
+            assert np.array_equal(np.asarray(bwt),
+                                  bwt_from_sa(s, np.asarray(sa)))
+    finally:
+        jax.clear_caches()
+
+
 def test_max_run_length():
     assert max_run_length(np.frombuffer(b"AACCCA", np.uint8)) == 3
     assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
