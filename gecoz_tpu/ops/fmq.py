@@ -59,9 +59,11 @@ class DeviceFMBlock(NamedTuple):
                             # when the block fits 24-bit rows, else plain
                             # lf (symbols fetched from bwt only where a
                             # step needs them); empty when not built
-    lfk_tab: jax.Array      # k-step decode table: uint32 [n, 2] rows.
-                            # k=8: (LF^8, eight 4-bit PLANE codes — bits
-                            # 4j = code of the symbol at LF^j); k=4:
+    lfk_tab: jax.Array      # k-step decode table: uint32 [n, 1+k/8ish]
+                            # rows.  k=16: (LF^16, two code words — word
+                            # w bits 4j = 4-bit PLANE code of the symbol
+                            # at LF^(8w+j)); k=8: (LF^8, eight 4-bit
+                            # PLANE codes — bits 4j = code at LF^j); k=4:
                             # (LF^4, four bytes — bits 8j = symbol at
                             # LF^j).  The k is recorded in lfk_k (static);
                             # empty when not built
@@ -72,7 +74,7 @@ class DeviceFMBlock(NamedTuple):
     sf: int                 # sampling factor (static)
     kmer_bits: int = 0      # bits per plane-coded symbol (static)
     kmer_k: int = 0         # max seeded suffix length (static)
-    lfk_k: int = 0          # LF steps per lfk_tab row (4 or 8; static)
+    lfk_k: int = 0          # LF steps per lfk_tab row (4/8/16; static)
 
     @property
     def n(self) -> int:
@@ -177,6 +179,15 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
         _, i4 = jax.lax.sort((lf4, iota), num_keys=1)
         lf8, q4 = _apply_perm(i4, lf4, c4)
         c8 = c4 | (q4 << 16)
+        if rate % 16 == 0:
+            # k=16, 12-byte rows: one more composition round folds two
+            # 8-step words per gather — per SYMBOL the 12-byte row costs
+            # ~59.7/16 = 3.7 ns vs 35.8/8 = 4.5 ns (probe_gather2d row
+            # scaling), and the walk does half the sequential rounds
+            _, i8 = jax.lax.sort((lf8, iota), num_keys=1)
+            lf16, q8 = _apply_perm(i8, lf8, c8)
+            lfk_tab = jnp.stack([lf16.astype(jnp.uint32), c8, q8], axis=1)
+            return block._replace(lf_tab=tab, lfk_tab=lfk_tab, lfk_k=16)
         lfk_tab = jnp.stack([lf8.astype(jnp.uint32), c8], axis=1)
         return block._replace(lf_tab=tab, lfk_tab=lfk_tab, lfk_k=8)
 
@@ -584,26 +595,35 @@ def decode_text_jit(block: DeviceFMBlock):
         # k-wide column block from the packed symbol word (ascending
         # column = descending LF step), rounds concatenated in reverse
         k = block.lfk_steps
-        if k == 8:
+        if k in (8, 16):
             # inverse plane map as 16 tiny reductions (no gather): the
             # byte whose plane row is r
             idx256 = jnp.arange(256, dtype=jnp.uint32)
             inv = [jnp.sum(jnp.where(block.sym_plane == r, idx256, 0))
                    for r in range(16)]
+
+            def plane_cols(sw, kk):
+                # kk 4-bit plane codes, step j at bits 4j — latest first
+                codes = jnp.stack(
+                    [(sw >> (4 * j)) & 15 for j in range(kk - 1, -1, -1)],
+                    axis=1)
+                syms = jnp.zeros_like(codes)
+                for r in range(16):
+                    syms = jnp.where(codes == r, inv[r], syms)
+                return syms.astype(jnp.uint8)
         cols = []
         idx = seeds
         for _ in range(rate // k):
             row = block.lfk_tab[idx]
             sw = row[..., 1]
-            if k == 8:
-                # eight 4-bit plane codes, step j at bits 4j
-                codes = jnp.stack(
-                    [(sw >> (4 * j)) & 15 for j in range(7, -1, -1)],
-                    axis=1)                      # [W, 8], latest first
-                syms = jnp.zeros_like(codes)
-                for r in range(16):
-                    syms = jnp.where(codes == r, inv[r], syms)
-                cols.append(syms.astype(jnp.uint8))
+            if k == 16:
+                # steps 8..15 in word 2, steps 0..7 in word 1: latest
+                # first means word-2 columns precede word-1 columns
+                cols.append(jnp.concatenate(
+                    [plane_cols(row[..., 2], 8), plane_cols(sw, 8)],
+                    axis=1))
+            elif k == 8:
+                cols.append(plane_cols(sw, 8))
             else:
                 cols.append(jnp.stack(
                     [(sw >> 24).astype(jnp.uint8),

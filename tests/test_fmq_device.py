@@ -76,6 +76,17 @@ def test_decode_text_device(rate, rng):
         assert bytes(got) == bytes(data)
 
 
+@pytest.mark.parametrize("rate", [16, 32])
+def test_decode_k16_table(rate, rng):
+    """rate % 16 == 0 builds the 12-byte LF^16 row and decodes through it."""
+    data, _, fm, _ = make_pair(rng, nseq=2, rate=rate,
+                               minlen=300, maxlen=900)
+    blk = jax.jit(fmq.with_lf_table)(fmq.device_block_from_fm(fm))
+    assert blk.lfk_k == 16 and blk.lfk_tab.shape[1] == 3
+    got = np.asarray(fmq.decode_text_jit(blk))
+    assert bytes(got) == bytes(data)
+
+
 def test_decode_adversarial_order():
     # first sequence lexicographically larger: breaks uncorrected LF
     data = np.frombuffer(b"TTTGG\0AAACA\0CCC\0", dtype=np.uint8)
