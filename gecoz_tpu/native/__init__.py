@@ -72,6 +72,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
         lib.gecoz_wt_partition.restype = ctypes.c_int64
+        lib.gecoz_hswt_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -242,6 +248,49 @@ def fm_decode_walks(bwt: np.ndarray, lf: np.ndarray, seeds: np.ndarray,
             seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             w0, w1, rate, tail_rewind, _u8ptr(text))
     return text
+
+
+def hswt_fill(bwt: np.ndarray, codes: np.ndarray, bit_lengths: np.ndarray,
+              node_keys: list, node_lengths: dict):
+    """One-pass wavelet fill: {(level, prefix): packed LSB-first bits}.
+
+    `node_keys` is the shape's node list; `node_lengths` maps each key to
+    its exact bit length (from symbol counts).  Returns per-node packed
+    byte arrays (views into one arena — callers must not mutate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    kidx = {key: i for i, key in enumerate(node_keys)}
+    node_off = np.zeros(max(len(node_keys), 1), dtype=np.int64)
+    off = 0
+    for i, key in enumerate(node_keys):
+        node_off[i] = off
+        off += (int(node_lengths[key]) + 7) >> 3
+    path_node = np.zeros(256 * 64, dtype=np.int32)
+    path_bit = np.zeros(256 * 64, dtype=np.uint8)
+    path_len = np.zeros(256, dtype=np.uint8)
+    for s in np.flatnonzero(np.asarray(bit_lengths) > 0):
+        L = int(bit_lengths[s])
+        if L > 64:
+            raise ValueError("code deeper than 64 levels")
+        code = int(codes[s])
+        path_len[s] = L
+        for lvl in range(L):
+            path_node[(s << 6) + lvl] = kidx[(lvl, code & ((1 << lvl) - 1))]
+            path_bit[(s << 6) + lvl] = (code >> lvl) & 1
+    arena = np.zeros(max(off, 1), dtype=np.uint8)
+    if len(bwt):
+        lib.gecoz_hswt_fill(
+            _u8ptr(bwt), len(bwt), _i32ptr(path_node), _u8ptr(path_bit),
+            _u8ptr(path_len),
+            node_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(node_keys), _u8ptr(arena))
+    out = {}
+    for i, key in enumerate(node_keys):
+        nb = (int(node_lengths[key]) + 7) >> 3
+        out[key] = arena[node_off[i]:node_off[i] + nb]
+    return out
 
 
 def wt_partition(bits: np.ndarray, positions: np.ndarray):
