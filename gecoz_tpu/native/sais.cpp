@@ -61,17 +61,47 @@ void sais(const T* s, int32_t* sa, int32_t n, int32_t sigma) {
     for (int32_t c = 0; c < sigma; ++c) { bptr[c] = sum; sum += bucket[c]; }
   };
 
+  // Induce passes are memory-latency-bound: sa[i] is read sequentially
+  // but s[j-1] / the type bit / the bucket slot are all random.  Software
+  // prefetch of the next few iterations' dependent lines overlaps those
+  // misses (entries PD ahead may still be unwritten — that only wastes a
+  // prefetch, never correctness, since j is re-read at its own iteration).
+  constexpr int32_t PD = 12;
   auto induce = [&]() {
     // L-type left-to-right (suffix n-1 has no successor: seed if L-type)
     reset_starts();
     if (!is_s(n - 1)) sa[bptr[s[n - 1]]++] = n - 1;
     for (int32_t i = 0; i < n; ++i) {
+      if (i + PD < n) {
+        int32_t pj = sa[i + PD];
+        if (pj > 0) {
+          __builtin_prefetch(&s[pj - 1]);
+          __builtin_prefetch(&tb[(pj - 1) >> 3]);
+        }
+      }
+      if (i + PD / 2 < n) {
+        // half-distance second stage: by now s[pj-1] is resident, so the
+        // bucket slot (the random WRITE target) can be prefetched too
+        int32_t pj = sa[i + PD / 2];
+        if (pj > 0) __builtin_prefetch(&sa[bptr[s[pj - 1]]], 1);
+      }
       int32_t j = sa[i];
       if (j > 0 && !is_s(j - 1)) sa[bptr[s[j - 1]]++] = j - 1;
     }
     // S-type right-to-left
     reset_ends();
     for (int32_t i = n - 1; i >= 0; --i) {
+      if (i - PD >= 0) {
+        int32_t pj = sa[i - PD];
+        if (pj > 0) {
+          __builtin_prefetch(&s[pj - 1]);
+          __builtin_prefetch(&tb[(pj - 1) >> 3]);
+        }
+      }
+      if (i - PD / 2 >= 0) {
+        int32_t pj = sa[i - PD / 2];
+        if (pj > 0) __builtin_prefetch(&sa[bptr[s[pj - 1]] - 1], 1);
+      }
       int32_t j = sa[i];
       if (j > 0 && is_s(j - 1)) sa[--bptr[s[j - 1]]] = j - 1;
     }
