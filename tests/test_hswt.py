@@ -35,6 +35,29 @@ def test_node_bits_match_streaming_fill(alphabet, n, rng):
         assert tree.nodes[key].serialize() == ref[key], key
 
 
+def test_native_fill_matches_numpy_build(rng, monkeypatch):
+    """The C++ one-pass fill (native/hswt_fill.cpp) and the masked-numpy
+    fallback must produce identical node bits, incl. skewed counts and
+    wide alphabets (deep, unbalanced Huffman shapes)."""
+    from gecoz_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for sigma, n in [(2, 33), (6, 4097), (40, 20000)]:
+        syms = rng.choice(256, size=sigma, replace=False).astype(np.uint8)
+        p = rng.dirichlet(np.ones(sigma) * 0.15)
+        data = rng.choice(syms, size=n, p=p).astype(np.uint8)
+        shape = make_shape(data)
+        a = HSWT.build(data, shape)
+        monkeypatch.setattr(native, "available", lambda: False)
+        b = HSWT.build(data, shape)
+        monkeypatch.undo()
+        assert set(a.nodes) == set(b.nodes)
+        for k in a.nodes:
+            assert a.nodes[k].length == b.nodes[k].length, (sigma, n, k)
+            assert np.array_equal(a.nodes[k].data, b.nodes[k].data), \
+                (sigma, n, k)
+
+
 @pytest.mark.parametrize("alphabet,n", [(b"ACGT", 2000), (b"ACGTN\0x", 3000)])
 def test_serialize_read_roundtrip(alphabet, n, rng):
     syms = np.frombuffer(alphabet, dtype=np.uint8)
