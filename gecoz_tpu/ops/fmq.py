@@ -144,13 +144,20 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
     lf = jnp.where(is_zero, corr, lf)
     lf = jnp.where(iota == block.wrap_row, 0, lf)
+    # bit 31 (spare in both row formats: lf < 2^23 packed, < 2^31 plain)
+    # carries "this row is sampled", so a locate walk costs ONE gather per
+    # step — the rank/perm lookups happen once, after the walk stops
+    mb = (block.mark_words[:, None]
+          >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
+    marked31 = mb.reshape(-1)[:n] << 31
     if n < _PACK_LIMIT:
-        tab = (lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
+        tab = ((lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
+               | marked31)
     else:
         # rows don't fit 24 bits: plain lf — locate walks then gather 4
         # bytes per step; the rare steps that also need the symbol read
         # bwt separately
-        tab = lf.astype(jnp.uint32)
+        tab = lf.astype(jnp.uint32) | marked31
     if not decode:
         return block._replace(lf_tab=tab)
 
@@ -202,19 +209,24 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
     return block._replace(lf_tab=tab, lfk_tab=lfk_tab, lfk_k=4)
 
 
+def _lf_from_row(block: DeviceFMBlock, v):
+    """LF value out of a fused-table row (strips the bit-31 mark bit)."""
+    if block.lf_packed:
+        return ((v >> 8) & jnp.uint32(0x7FFFFF)).astype(jnp.int32)
+    return (v & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
 def _lf_step(block: DeviceFMBlock, idx):
     """(next_idx, symbol) via the fused table, batched."""
     v = block.lf_tab[idx]
     if block.lf_packed:
-        return (v >> 8).astype(jnp.int32), (v & 255).astype(jnp.uint8)
-    return v.astype(jnp.int32), block.bwt[idx]
+        return _lf_from_row(block, v), (v & 255).astype(jnp.uint8)
+    return _lf_from_row(block, v), block.bwt[idx]
 
 
 def _lf_next(block: DeviceFMBlock, idx):
     """Next row only (locate walks don't need the symbol: 4-byte gather)."""
-    v = block.lf_tab[idx]
-    return (v >> 8).astype(jnp.int32) if block.lf_packed \
-        else v.astype(jnp.int32)
+    return _lf_from_row(block, block.lf_tab[idx])
 
 
 def _bit_plane(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -539,8 +551,35 @@ def _sampled_value(block: DeviceFMBlock, idx):
 @jax.jit
 def locate_batch(block: DeviceFMBlock, rows: jax.Array):
     """SA values for `rows`: batched LF walks to the nearest sample
-    (<= 2^sf steps by construction)."""
+    (<= 2^sf steps by construction).
+
+    With the fused table attached, each step is ONE 4-byte gather: the
+    row's bit 31 says "sampled here" (set at table build), so the
+    rank/perm lookups that turn a sampled row into its SA value run once,
+    after every walk has stopped — not once per step per lane."""
+    rate = 1 << block.sf
     steps = jnp.zeros(rows.shape, jnp.int32)
+
+    if block.has_lf:
+        hit_idx = jnp.zeros(rows.shape, jnp.int32)
+        live = jnp.ones(rows.shape, jnp.bool_)
+
+        def body(_, state):
+            idx, steps, hit_idx, live = state
+            v = block.lf_tab[idx]
+            sampled = (v >> 31) != 0
+            hit = live & sampled
+            hit_idx = jnp.where(hit, idx, hit_idx)
+            live = live & ~sampled
+            idx = jnp.where(live, _lf_from_row(block, v), idx)
+            steps = steps + live.astype(jnp.int32)
+            return idx, steps, hit_idx, live
+
+        _, steps, hit_idx, live = jax.lax.fori_loop(
+            0, rate + 1, body, (rows, steps, hit_idx, live))
+        _, val = _sampled_value(block, hit_idx)
+        return jnp.where(live, -1, val + steps)
+
     out = jnp.full(rows.shape, -1, jnp.int32)
     live = jnp.ones(rows.shape, jnp.bool_)
 
@@ -555,7 +594,6 @@ def locate_batch(block: DeviceFMBlock, rows: jax.Array):
         steps = steps + live.astype(jnp.int32)
         return idx, steps, out, live
 
-    rate = 1 << block.sf
     _, _, out, _ = jax.lax.fori_loop(
         0, rate + 1, body, (rows, steps, out, live))
     return out

@@ -46,7 +46,8 @@ def _make_kernel(rate: int):
         for j in range(rate):                 # static unroll, rate <= 128
             v = jnp.take(tab, idx, axis=0)    # VMEM vector gather
             out_ref[rate - 1 - j, :] = (v & 255).astype(jnp.uint8)
-            idx = (v >> 8).astype(jnp.int32)
+            # bits 30-8 = LF; bit 31 is the locate mark bit, strip it
+            idx = ((v >> 8) & 0x7FFFFF).astype(jnp.int32)
     return kernel
 
 

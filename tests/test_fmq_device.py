@@ -68,6 +68,23 @@ def test_locate_batch(rng):
     assert np.array_equal(got, sa[rows])
 
 
+def test_locate_batch_fused_table(rng, monkeypatch):
+    """Fast locate (mark bit in lf_tab bit 31, one gather per step) must
+    match the table-free walk, in both packed and plain row formats."""
+    # distinct block sizes per format: lf_packed is trace-time static, so
+    # one shape must not be traced under both row formats
+    for pack_limit, kw in [(1 << 23, {}),
+                           (16, dict(minlen=150, maxlen=260))]:
+        monkeypatch.setattr(fmq, "_PACK_LIMIT", pack_limit)
+        data, _, fm, blk = make_pair(rng, nseq=3, **kw)
+        sa = suffix_array_numpy(data)
+        rows = rng.integers(0, len(data), size=300).astype(np.int32)
+        fast = jax.jit(lambda b: fmq.with_lf_table(b, decode=False))(blk)
+        assert fast.lf_packed == (pack_limit > 16)
+        got = np.asarray(fmq.locate_batch(fast, jnp.asarray(rows)))
+        assert np.array_equal(got, sa[rows]), pack_limit
+
+
 @pytest.mark.parametrize("rate", [4, 8, 32])
 def test_decode_text_device(rate, rng):
     for nseq in [1, 3]:
