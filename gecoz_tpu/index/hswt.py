@@ -233,7 +233,7 @@ class HSWT:
             if key not in self.nodes or len(idx) == 0:
                 return
             node = self.nodes[key]
-            bit = (node.data[p >> 3] >> (p & 7)) & 1
+            bit = np.asarray(node.get(p))
             r1 = node.rank1_inclusive(p)
             zero = bit == 0
             walk(level + 1, prefix, idx[zero], (p - r1)[zero])

@@ -204,13 +204,26 @@ def interleaved_total_ones(buf: np.ndarray, length: int) -> int:
 class RankBitVector:
     """In-memory rank/select structure over a packed bit vector.
 
-    Query layout is TPU-style (flat words + superblock prefix ranks), not
-    the interleaved disk layout.  Construction is LAZY: a vector created
-    with `from_interleaved` keeps only the (memory-mapped) raw stream
-    until first queried, and `total_ones` reads the stream's own rank
-    counters — so opening a multi-GB block costs O(#nodes), and a count
-    query touches only the nodes on the pattern's code paths.
+    Two query tiers:
+
+    * **In-place (lazy) tier** — a vector created with `from_interleaved`
+      keeps only the (memory-mapped) raw stream and answers get/rank/select
+      straight off the interleaved counters, exactly like the reference
+      reads its own serialized nodes (RankedWTNode.count:98-122 /
+      findOne:145-194): one 8-byte absolute counter + one 2-byte segment
+      short + a <=64-byte popcount per rank query, all vectorized over
+      query batches.  Opening a multi-GB block costs O(#nodes) and a count
+      query touches O(|P| * codelen * 74 bytes) — never a full node.
+    * **Built tier** — flat uint64 words + superblock prefix ranks
+      (TPU-style layout), ~3x faster per query but paying a full O(n)
+      deinterleave + prefix rebuild first.  Queries switch to it
+      automatically when a single batch is large enough to amortize the
+      build (decode-heavy paths), or when the vector was built from bits.
     """
+
+    # build the flat tier when one batch has >= this many queries AND the
+    # batch is at least 1/8 of the vector's 512-bit group count
+    _BUILD_BATCH = 4096
 
     def __init__(self, data: np.ndarray | None, length: int,
                  raw: np.ndarray | None = None):
@@ -220,6 +233,7 @@ class RankBitVector:
         self._raw = raw
         self._built = False
         self._total: int | None = None
+        self._seg_abs: np.ndarray | None = None
 
     @classmethod
     def from_bits(cls, bits: np.ndarray) -> "RankBitVector":
@@ -257,14 +271,143 @@ class RankBitVector:
         np.cumsum(wpc[:, :-1], axis=1, out=self.word_prefix[:, 1:])
         self._built = True
 
+    # -- in-place (interleaved-stream) tier ---------------------------------
+
+    def _lazy(self) -> bool:
+        return not self._built and self._data is None and self._raw is not None
+
+    def _use_raw(self, batch: int) -> bool:
+        """In-place queries unless this one batch justifies the O(n) build."""
+        if not self._lazy():
+            return False
+        ngroups = ((self.length - 1) >> 9) + 1
+        return batch < self._BUILD_BATCH or batch < (ngroups >> 3)
+
+    def _seg_pref1(self) -> np.ndarray:
+        """Ones before each 64 Kbit segment, gathered from the stream's own
+        8-byte absolute counters (O(n/8192) bytes, cached)."""
+        if self._seg_abs is None:
+            nseg = ((self.length - 1) >> 16) + 1
+            seg = np.zeros(nseg, dtype=np.int64)
+            if nseg > 1:
+                s = np.arange(1, nseg, dtype=np.int64)
+                boff = 66 * (s << 7) + 6 * s - 8
+                b = self._raw[boff[:, None] + np.arange(8)].astype(np.uint64)
+                sh = (np.arange(8, dtype=np.uint64) * np.uint64(8))
+                seg[1:] = (b << sh).sum(axis=1).astype(np.int64)
+            self._seg_abs = seg
+        return self._seg_abs
+
+    def _rank_raw(self, idx: np.ndarray) -> np.ndarray:
+        """Inclusive rank straight off the interleaved stream — the exact
+        read pattern of RankedWTNode.count (nova-algo tree/
+        RankedWTNode.java:98-122), vectorized over the batch."""
+        raw = self._raw
+        g = idx >> 9
+        s = g >> 7
+        off = 66 * g + 6 * s
+        out = np.zeros(len(idx), dtype=np.int64)
+        has_abs = s > 0
+        if has_abs.any():
+            boff = 66 * (s[has_abs] << 7) + 6 * s[has_abs] - 8
+            b = raw[boff[:, None] + np.arange(8)].astype(np.uint64)
+            sh = (np.arange(8, dtype=np.uint64) * np.uint64(8))
+            out[has_abs] = (b << sh).sum(axis=1).astype(np.int64)
+        has_short = (g & 127) != 0
+        if has_short.any():
+            so = off[has_short] - 2
+            out[has_short] += (raw[so].astype(np.int64)
+                               | (raw[so + 1].astype(np.int64) << 8))
+        # popcount of group bytes up to idx inclusive
+        cols = np.arange(_GROUP)
+        gb = raw[np.minimum(off[:, None] + cols, len(raw) - 1)]
+        b_in = (idx >> 3) & 63
+        lastmask = ((np.int16(2) << (idx & 7).astype(np.int16)) - 1).astype(np.uint8)
+        m = np.where(cols[None, :] < b_in[:, None], np.uint8(0xFF),
+                     np.where(cols[None, :] == b_in[:, None],
+                              lastmask[:, None], np.uint8(0)))
+        out += np.bitwise_count(gb & m).sum(axis=1, dtype=np.int64)
+        return out
+
+    def _select_raw(self, n: np.ndarray, bit: int) -> np.ndarray:
+        """Select over the interleaved stream via its inline counters
+        (RankedWTNode.findOne/findZero:145-194 semantics): binary search the
+        absolute segment counters, then the segment's shorts, then one
+        64-byte group."""
+        raw = self._raw
+        L = self.length
+        total1 = self.total_ones()
+        total = total1 if bit else L - total1
+        ok = (n >= 1) & (n <= total)
+        t = np.where(ok, n, 1)
+        nseg = ((L - 1) >> 16) + 1
+        ngroups = ((L - 1) >> 9) + 1
+        seg1 = self._seg_pref1()
+        seg_pref = seg1 if bit else (np.arange(nseg, dtype=np.int64) << 16) - seg1
+        s = np.searchsorted(seg_pref, t, side="left") - 1
+        s = np.clip(s, 0, nseg - 1)
+        within = t - seg_pref[s]
+        g0 = s << 7
+        # segment shorts: ones within the segment before groups g0+1..g0+127
+        j = np.arange(1, _SEG_GROUPS)
+        gids = g0[:, None] + j
+        valid = gids < ngroups
+        so = 66 * gids + 6 * s[:, None] - 2
+        so = np.minimum(so, len(raw) - 2)
+        shorts = (raw[so].astype(np.int64) | (raw[so + 1].astype(np.int64) << 8))
+        pref = shorts if bit else (j * 512 - shorts)
+        pref = np.where(valid, pref, np.int64(1) << 40)
+        gl = (pref < within[:, None]).sum(axis=1)           # local group index
+        g = g0 + gl
+        base = np.take_along_axis(
+            np.concatenate([np.zeros((len(t), 1), np.int64), pref], axis=1),
+            gl[:, None], axis=1)[:, 0]
+        k = within - base                                    # 1-based in group
+        # the k'th `bit` within group g
+        goff = 66 * g + 6 * s
+        cols = np.arange(_GROUP)
+        gb = raw[np.minimum(goff[:, None] + cols, len(raw) - 1)]
+        bit_base = g << 9
+        vbits = np.clip(L - (bit_base[:, None] + cols * 8), 0, 8)
+        bmask = ((np.int16(1) << vbits.astype(np.int16)) - 1).astype(np.uint8)
+        ones_b = np.bitwise_count(gb & bmask).astype(np.int64)
+        cnt_b = ones_b if bit else (vbits - ones_b)
+        cum = np.cumsum(cnt_b, axis=1)
+        byte_i = (cum < k[:, None]).sum(axis=1)
+        byte_i = np.minimum(byte_i, _GROUP - 1)
+        prev = np.take_along_axis(
+            np.concatenate([np.zeros((len(t), 1), np.int64), cum], axis=1),
+            byte_i[:, None], axis=1)[:, 0]
+        kb = k - prev                                        # 1-based in byte
+        byte_v = np.take_along_axis(gb, byte_i[:, None], axis=1)[:, 0]
+        tb = (byte_v[:, None] >> np.arange(8)) & 1
+        if not bit:
+            vb = np.take_along_axis(vbits, byte_i[:, None], axis=1)
+            tb = np.where(np.arange(8)[None, :] < vb, 1 - tb, 0)
+        bcum = np.cumsum(tb.astype(np.int64), axis=1)
+        bitpos = np.argmax(bcum == kb[:, None], axis=1)
+        res = bit_base + byte_i * 8 + bitpos
+        return np.where(ok, res, np.int64(-1))
+
+    # -- public queries ------------------------------------------------------
+
     def get(self, idx):
         idx = np.asarray(idx)
+        if self._lazy():
+            b = idx >> 3
+            g = b >> 6
+            boff = 66 * g + 6 * (g >> 7) + (b & 63)
+            return (self._raw[boff] >> (idx & 7)) & 1
         return (self.data[idx >> 3] >> (idx & 7)) & 1
 
     def rank1_inclusive(self, idx):
         """Number of ones in [0, idx] (vectorized; RankedWTNode.count)."""
-        self._ensure()
         idx = np.asarray(idx, dtype=np.int64)
+        scalar = idx.ndim == 0
+        if self._use_raw(idx.size):
+            res = self._rank_raw(np.atleast_1d(idx).ravel())
+            return res[0] if scalar else res.reshape(idx.shape)
+        self._ensure()
         g = idx >> 9
         w = (idx >> 6) & 7
         base = self.super_ranks[g] + self.word_prefix[g, w]
@@ -290,31 +433,56 @@ class RankBitVector:
         """Position of the n'th one bit (1-based), -1 if out of range
         (RankedWTNode.findOne:145-194 semantics).
 
-        Superblock-guided, O(log(n/512) + 64) per query and fully
-        vectorized over a batch — the host analog of the reference's
-        interpolation-guided binary search (and of the device word search
-        in ops/fmq.py::_row_with_sa), replacing the old O(n) flatnonzero.
-        """
-        self._ensure()
+        Lazy vectors answer straight off the interleaved stream's inline
+        counters; built vectors use the superblock-guided search below —
+        both O(log(n/512) + 64B) per query, fully vectorized."""
+        return self._select(n, 1)
+
+    def select0(self, n):
+        """Position of the n'th zero bit (RankedWTNode.findZero)."""
+        return self._select(n, 0)
+
+    def _select(self, n, bit: int):
         n = np.asarray(n, dtype=np.int64)
         scalar = n.ndim == 0
-        n = np.atleast_1d(n)
-        total = self.super_ranks[-1]
+        flat = np.atleast_1d(n).ravel()
+        if self._use_raw(flat.size):
+            res = self._select_raw(flat, bit)
+        else:
+            self._ensure()
+            res = self._select_built(flat, bit)
+        return res[0] if scalar else res.reshape(n.shape)
+
+    def _select_built(self, n: np.ndarray, bit: int) -> np.ndarray:
+        ngroups = len(self.super_ranks) - 1
+        total1 = self.super_ranks[-1]
+        total = total1 if bit else self.length - total1
         ok = (n >= 1) & (n <= total)
         t = np.where(ok, n, 1)
-        # 512-bit group holding the target one
-        g = np.searchsorted(self.super_ranks, t, side="left") - 1
-        g = np.clip(g, 0, len(self.super_ranks) - 2)
-        within = t - self.super_ranks[g]                 # 1-based in group
-        # word within the group: last word whose prefix < within
-        w = (self.word_prefix[g] < within[:, None]).sum(axis=1) - 1
-        k = within - self.word_prefix[g, w]              # 1-based in word
+        if bit:
+            sup = self.super_ranks
+        else:
+            # zeros before each group boundary; the final boundary may
+            # overcount padding but the target zero is always before it
+            sup = (np.arange(ngroups + 1, dtype=np.int64) << 9) - self.super_ranks
+        # 512-bit group holding the target
+        g = np.searchsorted(sup, t, side="left") - 1
+        g = np.clip(g, 0, ngroups - 1)
+        within = t - sup[g]                              # 1-based in group
+        wpref = self.word_prefix[g]
+        if not bit:
+            wpref = (np.arange(8, dtype=np.int64)[None, :] << 6) - wpref
+        w = (wpref < within[:, None]).sum(axis=1) - 1
+        k = within - np.take_along_axis(wpref, w[:, None], axis=1)[:, 0]
         word = self.words[g * 8 + w]
         bits = (word[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        cum = np.cumsum(bits.astype(np.int64), axis=1)
+        bits = bits.astype(np.int64)
+        if not bit:
+            bits = 1 - bits
+        cum = np.cumsum(bits, axis=1)
         bitpos = np.argmax(cum == k[:, None], axis=1)
         res = np.where(ok, (g << 9) + (w << 6) + bitpos, -1)
-        return res[0] if scalar else res
+        return res
 
     def serialize(self) -> bytes:
         if self._raw is not None and self._data is None:

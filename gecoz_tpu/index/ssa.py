@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from gecoz_tpu.index.iwt import IndexWaveletTree, iwt_size
+from gecoz_tpu.index.iwt import IndexWaveletTree, LazyIWT, iwt_size
 from gecoz_tpu.index.rankbv import RankBitVector, rbv_bytes
 
 
@@ -32,18 +32,31 @@ class SampledSAIndex:
         self._wsa = wsa
         self._wsa_buf = wsa_buf          # serialized IWT, decoded lazily
         self._ssa_len = ssa_len
+        self._lazy: LazyIWT | None = None
         self.sampling_factor = int(sampling_factor)
 
     @property
     def wsa(self) -> IndexWaveletTree:
-        """The sampled-value permutation; deserializing the IWT costs
-        ~levels stable sorts, so it stays on disk until locate/extract
-        actually needs it (count-only queries never do)."""
+        """The materialized sampled-value permutation; deserializing the
+        IWT costs ~levels stable sorts, so decode-heavy paths
+        (sampled_rows) pay it once while point queries go through the
+        in-place plane walks of `_q`."""
         if self._wsa is None:
             self._wsa = IndexWaveletTree.deserialize(self._wsa_buf,
                                                      self._ssa_len)
-            self._wsa_buf = None
         return self._wsa
+
+    @property
+    def _q(self):
+        """Query backend: the materialized permutation when present, else
+        in-place walks over the serialized planes (LazyIWT) — the
+        reference's own O(levels) get/find (IndexWaveletTree.java:127-165),
+        so a cold locate/count never materializes the IWT."""
+        if self._wsa is not None:
+            return self._wsa
+        if self._lazy is None:
+            self._lazy = LazyIWT(self._wsa_buf, self._ssa_len)
+        return self._lazy
 
     @classmethod
     def build(cls, sa: np.ndarray, sampling_rate: int) -> "SampledSAIndex":
@@ -58,6 +71,9 @@ class SampledSAIndex:
                    IndexWaveletTree(ssa), sf)
 
     def serialize(self) -> bytes:
+        if self._wsa is None and self._wsa_buf is not None:
+            return self.mark.serialize() + bytes(
+                np.asarray(self._wsa_buf, dtype=np.uint8))
         return self.mark.serialize() + self.wsa.serialize()
 
     @classmethod
@@ -75,15 +91,20 @@ class SampledSAIndex:
     def get(self, pos):
         """SA value at row `pos`, or -1 when the row is not sampled."""
         pos = np.asarray(pos, dtype=np.int64)
-        sampled = self.mark.get(pos).astype(bool)
-        j = self.mark.rank1_inclusive(pos) - 1
-        val = self.wsa.get(np.maximum(j, 0)) << self.sampling_factor
-        return np.where(sampled, val, np.int64(-1))
+        scalar = pos.ndim == 0
+        p = np.atleast_1d(pos)
+        sampled = np.asarray(self.mark.get(p)).astype(bool)
+        out = np.full(p.shape, np.int64(-1))
+        if sampled.any():
+            j = np.asarray(self.mark.rank1_inclusive(p[sampled])) - 1
+            out[sampled] = (np.asarray(self._q.get(j))
+                            << self.sampling_factor)
+        return out[0] if scalar else out.reshape(pos.shape)
 
     def find(self, sa_value):
         """Row whose SA value is `sa_value` (must be a sampled multiple)."""
         sa_value = np.asarray(sa_value, dtype=np.int64)
-        j = self.wsa.find(sa_value >> self.sampling_factor)
+        j = np.asarray(self._q.find(sa_value >> self.sampling_factor))
         return self.mark.select1(j + 1)
 
     def sampled_rows(self) -> np.ndarray:

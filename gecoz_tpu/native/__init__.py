@@ -286,6 +286,9 @@ def hswt_fill(bwt: np.ndarray, codes: np.ndarray, bit_lengths: np.ndarray,
             _u8ptr(path_len),
             node_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(node_keys), _u8ptr(arena))
+    # the per-node results below are views into this one arena: freeze it so
+    # accidental mutation of one node raises instead of corrupting neighbors
+    arena.flags.writeable = False
     out = {}
     for i, key in enumerate(node_keys):
         nb = (int(node_lengths[key]) + 7) >> 3

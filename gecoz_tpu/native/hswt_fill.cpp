@@ -25,7 +25,10 @@ void gecoz_hswt_fill(const uint8_t* bwt, int64_t n,
                      const int64_t* node_off,    // [K] arena byte offsets
                      int64_t nnodes,
                      uint8_t* arena) {
-    if (n <= 0 || nnodes <= 0) return;
+    // <=256 nodes by contract: a binary prefix code over bytes has at most
+    // 255 internal nodes.  Guard the exported ABI against larger values,
+    // which would overflow the fixed stack arrays below.
+    if (n <= 0 || nnodes <= 0 || nnodes > 256) return;
     // per-node state: bit accumulator, bits buffered, next spill address
     uint64_t acc[256];
     int32_t cnt[256];
