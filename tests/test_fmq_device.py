@@ -200,3 +200,31 @@ def test_pallas_scan_kernels_interpret(rng, monkeypatch):
                           np.maximum.accumulate(x))
     assert np.array_equal(np.asarray(sp.cummin_rev_i32(d)),
                           np.minimum.accumulate(x[::-1])[::-1])
+
+
+@pytest.mark.parametrize("rate", [1, 4, 32])
+def test_locate_table_one_gather(rate, rng):
+    """with_locate_table precomputes every row's walk (pointer doubling);
+    locate then answers from one row gather and must match the true SA."""
+    data, _, fm, blk = make_pair(rng, nseq=3, rate=rate,
+                                 minlen=500, maxlen=2000)
+    sa = suffix_array_numpy(data)
+    loc = jax.jit(fmq.with_locate_table)(blk)
+    assert loc.has_loc and loc.loc_tab.shape == (len(data), 2)
+    rows = rng.integers(0, len(data), size=500).astype(np.int32)
+    got = np.asarray(fmq.locate_batch(loc, jnp.asarray(rows)))
+    assert np.array_equal(got, sa[rows])
+    # distances bounded by the sampling rate
+    assert int(jnp.max(loc.loc_tab[:, 1])) < rate
+
+
+def test_locate_table_after_lf_table(rng):
+    """Building the locate table over an lf_tab-bearing block reuses the
+    fused table's corrected LF."""
+    data, _, fm, blk = make_pair(rng, nseq=2, rate=8)
+    sa = suffix_array_numpy(data)
+    both = jax.jit(lambda b: fmq.with_locate_table(
+        fmq.with_lf_table(b, decode=False)))(blk)
+    rows = rng.integers(0, len(data), size=200).astype(np.int32)
+    got = np.asarray(fmq.locate_batch(both, jnp.asarray(rows)))
+    assert np.array_equal(got, sa[rows])
