@@ -151,6 +151,25 @@ def main() -> None:
     print(f"# search: {qps:.2f} Mqueries/s ({L}-mers), "
           f"{t_search*1e3:.1f} ms/batch", file=sys.stderr)
 
+    # locate: SA values for 1M random hit rows.  Two engines: the fused-LF
+    # walk (~rate 4-byte gathers per query; the round-3 path) and the
+    # pointer-doubled locate table (ONE 8-byte gather per query)
+    from gecoz_tpu.ops.fmq import locate_batch, with_locate_table
+    Bl = 1 << 20
+    lrows = rng.integers(0, n, size=Bl).astype(np.int32)
+    lrows_d = jax.device_put(jnp.asarray(lrows), dev)
+    locate_ck = jax.jit(lambda b, r: _checksum(locate_batch(b, r)))
+    int(np.asarray(locate_ck(block, lrows_d)))
+    t_lwalk = timeit(locate_ck, block, lrows_d)
+    block_loc = jax.jit(with_locate_table)(block)
+    int(np.asarray(locate_ck(block_loc, lrows_d)))
+    t_ltab = timeit(locate_ck, block_loc, lrows_d)
+    loc_qps, locw_qps = Bl / t_ltab / 1e6, Bl / t_lwalk / 1e6
+    print(f"# locate: {loc_qps:.2f} Mlocates/s (table) vs "
+          f"{locw_qps:.2f} (walk), {t_ltab*1e3:.1f} ms/batch",
+          file=sys.stderr)
+    del block_loc
+
     # large-block point: same pipeline at a size where dispatch RTT is
     # negligible (<2% of the measure) — the scale the reference was built
     # for (chr1-class blocks).  Skipped on the CPU fallback (the device
@@ -180,13 +199,21 @@ def main() -> None:
               f"{lmbps_decode:.1f} MB/s", file=sys.stderr)
         assert np.array_equal(np.asarray(decode_text_jit(lblock)), ldata), \
             "large decode mismatch"
+        lloc = jax.jit(with_locate_table)(lblock)
+        llrows_d = jax.device_put(jnp.asarray(
+            rng.integers(0, ln, size=Bl).astype(np.int32)), dev)
+        int(np.asarray(locate_ck(lloc, llrows_d)))
+        t_lloc = timeit(locate_ck, lloc, llrows_d, repeat=2)
+        lloc_qps = Bl / t_lloc / 1e6
+        print(f"# large locate: {lloc_qps:.2f} Mlocates/s", file=sys.stderr)
         large_extra = {
             "large_block_MiB": ln >> 20,
             "large_index_MBps": round(lmbps_index, 2),
             "large_decode_MBps": round(lmbps_decode, 2),
+            "large_locate_Mqps": round(lloc_qps, 3),
             "large_rtt_pct": round(rtt / t_lindex * 100, 2),
         }
-        del ld, lblock
+        del ld, lblock, lloc
 
     # host single-core baseline on a smaller slice
     from gecoz_tpu.index.hswt import HSWT
@@ -234,6 +261,8 @@ def main() -> None:
         "extra": {
             "decode_MBps": round(mbps_decode, 2),
             "search_Mqps_16mer": round(qps, 3),
+            "locate_Mqps": round(loc_qps, 3),
+            "locate_walk_Mqps": round(locw_qps, 3),
             "host_single_core_MBps": round(host_mbps, 2),
             "native_tier_MBps": round(native_mbps, 2),
             "vs_native": round(mbps_index / native_mbps, 2),

@@ -106,17 +106,29 @@ _DEVICE_LOCK = threading.Lock()
 
 
 def _encode_on_device(data: np.ndarray, shape: HSWTShape):
-    """Device tier: SA + BWT + wavelet bit planes on the TPU."""
+    """Device tier: SA + BWT + wavelet bit planes on the TPU.
+
+    Blocks whose suffix-sort working set exceeds one device's HBM take
+    the in-block sharded kernel over all attached devices
+    (parallel/sharded_sa) instead of failing over to the host tier."""
+    import jax
     import jax.numpy as jnp
 
     from gecoz_tpu.ops.sa_device import bwt_device, suffix_array_device
     from gecoz_tpu.ops.wavelet import build_hswt_device
+    from gecoz_tpu.utils import accel
 
     with _DEVICE_LOCK:
-        d = jnp.asarray(data)
-        sa_dev = suffix_array_device(d)
-        bwt = np.asarray(bwt_device(d, sa_dev))
-        sa = np.asarray(sa_dev).astype(np.int64)
+        if accel.needs_sharded_sa(len(data)) and len(jax.devices()) > 1:
+            from gecoz_tpu.parallel.sharded_sa import suffix_array_sharded
+            sa_sh, bwt_sh = suffix_array_sharded(data)
+            sa = np.asarray(sa_sh).astype(np.int64)
+            bwt = np.asarray(bwt_sh)
+        else:
+            d = jnp.asarray(data)
+            sa_dev = suffix_array_device(d)
+            bwt = np.asarray(bwt_device(d, sa_dev))
+            sa = np.asarray(sa_dev).astype(np.int64)
         hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
     return sa, bwt, hswt
 

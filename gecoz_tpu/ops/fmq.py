@@ -71,6 +71,10 @@ class DeviceFMBlock(NamedTuple):
                             # (sp, ep) after backward-searching every
                             # plane-coded string of length 1..kmer_k;
                             # level j starts at _kmer_offset(bits, j)
+    loc_tab: jax.Array      # locate table: int32 [n, 2] rows of (first
+                            # SAMPLED row on this row's LF path, step
+                            # distance to it) — one 8-byte gather answers
+                            # a locate.  Empty when not built
     sf: int                 # sampling factor (static)
     kmer_bits: int = 0      # bits per plane-coded symbol (static)
     kmer_k: int = 0         # max seeded suffix length (static)
@@ -106,6 +110,10 @@ class DeviceFMBlock(NamedTuple):
     def has_kmer(self) -> bool:
         return self.kmer_tab.shape[0] > 0
 
+    @property
+    def has_loc(self) -> bool:
+        return self.loc_tab.shape[0] > 0
+
 
 jax.tree_util.register_pytree_node(
     DeviceFMBlock,
@@ -115,6 +123,75 @@ jax.tree_util.register_pytree_node(
 
 
 _PACK_LIMIT = 1 << 23    # lf values below this pack with the symbol in u32
+
+
+def _corrected_lf(block: DeviceFMBlock) -> jax.Array:
+    """Full corrected LF mapping as int32 [n] (jittable).
+
+    One stable sort of the BWT yields the plain LF (stable argsort groups
+    by symbol preserving row order, which IS C[sym]+rank); the separator
+    correction is a cumsum over the zero plane (see gecoz_tpu/index/fm.py).
+    Recovered elementwise from an already-built fused table when present."""
+    n = block.n
+    if block.has_lf:
+        return _lf_from_row(block, block.lf_tab)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sym = block.bwt.astype(jnp.int32)
+    _, order = jax.lax.sort((sym, iota), num_keys=2)
+    lf = _apply_perm(order, iota)
+    from gecoz_tpu.ops.scan_pallas import cumsum_i32
+    is_zero = sym == 0
+    zero_rank = cumsum_i32(is_zero.astype(jnp.int32)) - 1
+    corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
+    lf = jnp.where(is_zero, corr, lf)
+    return jnp.where(iota == block.wrap_row, 0, lf)
+
+
+def _marked_bits(block: DeviceFMBlock) -> jax.Array:
+    """Per-row sampled flag as int32 [n], expanded from the mark plane."""
+    mb = (block.mark_words[:, None]
+          >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
+    return mb.reshape(-1)[:block.n].astype(jnp.int32)
+
+
+def with_locate_table(block: DeviceFMBlock) -> DeviceFMBlock:
+    """Attach the locate table (jittable): for every BWT row, the first
+    SAMPLED row on its LF path and the step distance to it.
+
+    The reference's locate is a sequential walk of up to rate LF steps per
+    hit (GSSA.locate:241-251); the round-3 engine did the same walk
+    batched, one 4-byte gather per step (~rate gathers per query).  Here
+    the walk is precomputed for ALL rows at once by sf pointer-doubling
+    rounds — round t extends every row's known path from 2^t to 2^(t+1)
+    steps via one permutation inversion sort + one value-carrying sort
+    (sort-side composition: sorts are the cheap primitive on TPU, random
+    gathers are not) — after which a locate is ONE 8-byte row gather plus
+    the final sampled-value lookup.  Every row reaches a sampled row
+    within rate steps (SA values step down by 1 per LF step and every
+    rate'th value is marked), so sf rounds always converge.
+    """
+    n = block.n
+    if n == 0 or block.has_loc:
+        return block
+    iota = jnp.arange(n, dtype=jnp.int32)
+    jump = _corrected_lf(block)                  # LF^1, a true permutation
+    done = _marked_bits(block)
+    hit = jnp.where(done == 1, iota, 0)
+    d = jnp.zeros((n,), jnp.int32)
+    # invariant before round t: (done, hit, d) cover steps [0, 2^t),
+    # jump = LF^(2^t); lanes stay in play until their first mark
+    for t in range(block.sf):
+        _, ij = jax.lax.sort((jump, iota), num_keys=1)   # jump^{-1}
+        hitd = hit.astype(jnp.uint32) | (done.astype(jnp.uint32) << 31)
+        hitd2, d2, jump2 = _apply_perm(ij, hitd, d, jump)
+        done2 = (hitd2 >> 31).astype(jnp.int32)
+        hit2 = (hitd2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        live = done == 0
+        hit = jnp.where(live, hit2, hit)
+        d = jnp.where(live, (1 << t) + d2, d)
+        done = done | done2
+        jump = jump2
+    return block._replace(loc_tab=jnp.stack([hit, d], axis=1))
 
 
 def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
@@ -136,20 +213,11 @@ def with_lf_table(block: DeviceFMBlock, decode: bool = True) -> DeviceFMBlock:
         return block
     iota = jnp.arange(n, dtype=jnp.int32)
     sym = block.bwt.astype(jnp.int32)
-    _, order = jax.lax.sort((sym, iota), num_keys=2)
-    lf = _apply_perm(order, iota)
-    from gecoz_tpu.ops.scan_pallas import cumsum_i32
-    is_zero = sym == 0
-    zero_rank = cumsum_i32(is_zero.astype(jnp.int32)) - 1
-    corr = 1 + zero_rank - (block.wrap_row < iota).astype(jnp.int32)
-    lf = jnp.where(is_zero, corr, lf)
-    lf = jnp.where(iota == block.wrap_row, 0, lf)
+    lf = _corrected_lf(block)
     # bit 31 (spare in both row formats: lf < 2^23 packed, < 2^31 plain)
     # carries "this row is sampled", so a locate walk costs ONE gather per
     # step — the rank/perm lookups happen once, after the walk stops
-    mb = (block.mark_words[:, None]
-          >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
-    marked31 = mb.reshape(-1)[:n] << 31
+    marked31 = _marked_bits(block).astype(jnp.uint32) << 31
     if n < _PACK_LIMIT:
         tab = ((lf.astype(jnp.uint32) << 8) | block.bwt.astype(jnp.uint32)
                | marked31)
@@ -291,6 +359,7 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
         lf_tab=jnp.zeros((0,), jnp.int32),
         lfk_tab=jnp.zeros((0, 2), jnp.uint32),
         kmer_tab=jnp.zeros((0, 2), jnp.int32),
+        loc_tab=jnp.zeros((0, 2), jnp.int32),
         sf=int(sf),
     )
 
@@ -381,7 +450,8 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         ssa_perm=perm, ssa_inv=inv,
         lf_tab=jnp.zeros((0,), jnp.int32),
         lfk_tab=jnp.zeros((0, 2), jnp.uint32),
-        kmer_tab=jnp.zeros((0, 2), jnp.int32), sf=sf)
+        kmer_tab=jnp.zeros((0, 2), jnp.int32),
+        loc_tab=jnp.zeros((0, 2), jnp.int32), sf=sf)
 
 
 # -- primitive rank ---------------------------------------------------------
@@ -559,6 +629,13 @@ def locate_batch(block: DeviceFMBlock, rows: jax.Array):
     after every walk has stopped — not once per step per lane."""
     rate = 1 << block.sf
     steps = jnp.zeros(rows.shape, jnp.int32)
+
+    if block.has_loc:
+        # precomputed walk: one 8-byte row gather per query, then the
+        # sampled-value lookup once for the whole batch
+        row = block.loc_tab[rows]
+        _, val = _sampled_value(block, row[:, 0])
+        return val + row[:, 1]
 
     if block.has_lf:
         hit_idx = jnp.zeros(rows.shape, jnp.int32)

@@ -82,14 +82,30 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None):
 
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
     """True suffix arrays for variable-length blocks via one padded,
-    vmapped device sort per size bucket."""
+    vmapped device sort per size bucket.
+
+    Blocks whose estimated device working set exceeds ONE device's HBM
+    (accel.needs_sharded_sa) route to the in-block sharded kernel across
+    the whole mesh instead — the capacity axis the reference bounds with
+    its merge-cap policy (README.md:42-44) and we bound per chip."""
+    import jax
     import jax.numpy as jnp
 
+    from gecoz_tpu.utils import accel
+
     buckets: dict[int, list[int]] = {}
+    sharded: list[int] = []
     for i, b in enumerate(blocks):
-        buckets.setdefault(_bucket_size(len(b)), []).append(i)
+        if accel.needs_sharded_sa(len(b)) and len(jax.devices()) > 1:
+            sharded.append(i)
+        else:
+            buckets.setdefault(_bucket_size(len(b)), []).append(i)
 
     out: list[np.ndarray | None] = [None] * len(blocks)
+    for i in sharded:
+        from gecoz_tpu.parallel.sharded_sa import suffix_array_sharded
+        sa, _ = suffix_array_sharded(blocks[i])
+        out[i] = np.asarray(sa).astype(np.int64)
     for npad, idxs in buckets.items():
         batch = np.zeros((len(idxs), npad), dtype=np.uint8)
         for row, i in enumerate(idxs):

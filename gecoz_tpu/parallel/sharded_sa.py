@@ -276,16 +276,22 @@ def _suffix_array_sharded_jit(s: jax.Array, n_real: jax.Array, *,
         rank, sa_k, (bwt_k,), done = _sort_rerank(rank, zeros, ig, (sprev,),
                                                   n, axis, D)
 
+        # k is capped at n (a shift by >= n is already the final round) so
+        # the doubling never overflows int32 even for blocks past 1 GiB —
+        # the kernel is valid up to the int32-SA contract (SAIS.java:103)
+        kcap = jnp.int32(n)
+
         def body(state):
             rank, sa_k, bwt_k, k, _ = state
             r2 = _shift_k(rank, k, ig, n, axis, D)
             rank, sa_k, (bwt_k,), done = _sort_rerank(rank, r2, ig, (sprev,),
                                                       n, axis, D)
-            return rank, sa_k, bwt_k, k * 2, done
+            k = jnp.where(k > kcap // 2, kcap, k * 2)
+            return rank, sa_k, bwt_k, k, done
 
         def cond(state):
             _, _, _, k, done = state
-            return jnp.logical_and(~done, k < 2 * n)
+            return jnp.logical_and(~done, k < kcap)
 
         _, sa_k, bwt_k, _, _ = jax.lax.while_loop(
             cond, body, (rank, sa_k, bwt_k, jnp.int32(chars_per), done))
@@ -466,9 +472,18 @@ def suffix_array_sharded(s, mesh: Mesh | None = None, axis: str = "seq",
     impl: 'kmer' (dense-packed prefix doubling), 'runs' (run-key seeding +
     token doubling, immune to long equal-symbol runs), or 'auto' (pick by
     the longest run, like the single-chip dispatcher).
+
+    Size ceiling matches the reference's int32-SA contract (SAIS.java:103,
+    2^31 bytes).  The 'runs' variant packs (position, side) into int31 so
+    it caps at 1 GiB; blocks in [2^30, 2^31) dispatch to 'kmer', which is
+    int32-safe all the way (at the cost of ~log2(longest run) extra
+    doubling rounds on run-heavy text).
     """
     from gecoz_tpu.ops.sa_device import RUN_THRESHOLD, max_run_length
 
+    if len(s) >= 1 << 31:
+        raise ValueError("blocks are capped at 2^31 bytes by the int32-SA "
+                         "contract (SAIS.java:103)")
     s = np.asarray(s, dtype=np.uint8)
     n = len(s)
     if mesh is None:
@@ -478,8 +493,10 @@ def suffix_array_sharded(s, mesh: Mesh | None = None, axis: str = "seq",
     if symbols is None:
         symbols = tuple(int(x) for x in np.unique(s))
     if impl == "auto":
-        impl = ("runs" if n and max_run_length(s) > RUN_THRESHOLD
-                else "kmer")
+        impl = ("runs" if n and n < (1 << 30)
+                and max_run_length(s) > RUN_THRESHOLD else "kmer")
+    if impl == "runs" and n >= 1 << 30:
+        impl = "kmer"                       # runs packs int31 positions
     pad = (-n) % D
     padded = np.concatenate([s, np.zeros(pad, np.uint8)])
     sh = NamedSharding(mesh, P(axis))

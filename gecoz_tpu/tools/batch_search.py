@@ -33,11 +33,10 @@ def find_batched(fm, patterns: list[bytes],
     if not patterns:
         return []
     if device_block is None:
-        # kmer table seeds the searches; the fused LF table (decode=False:
-        # no LF^k) makes each locate-walk step ONE gather instead of three
-        device_block = fmq.with_lf_table(
-            fmq.with_kmer_table(fmq.device_block_from_fm(fm)),
-            decode=False)
+        # kmer table seeds the searches; the locate table turns each hit's
+        # rate-step LF walk into ONE 8-byte gather (fmq.with_locate_table)
+        device_block = fmq.with_locate_table(
+            fmq.with_kmer_table(fmq.device_block_from_fm(fm)))
     arr, lens = pack_patterns(patterns)
     sp, ep = fmq.search_batch(device_block, jnp.asarray(arr),
                               jnp.asarray(lens))

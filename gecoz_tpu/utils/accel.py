@@ -61,3 +61,43 @@ def accelerator_ok(timeout_s: int = 120, attempts: int = 2,
 def device_worthwhile(nbytes: int) -> bool:
     """Work is big enough that the device tier beats dispatch latency."""
     return nbytes >= DEVICE_MIN_BYTES
+
+
+# Measured single-chip SA working set: the 248 MB hg38 chr1 block peaked at
+# 11.1 GiB of HBM through the device suffix sort (artifacts/
+# SCALE_r3_device_sa.log) — ~48 bytes per input byte (sort operands,
+# rerank keys and their double buffers).
+SA_DEVICE_BYTES_PER_CHAR = 48
+
+
+def device_hbm_bytes() -> int | None:
+    """Usable accelerator memory per device, or None when unknown.
+
+    Queried from the live backend (memory_stats when exposed); the
+    GECOZ_HBM_BYTES env var overrides (also the test hook for exercising
+    the sharded-dispatch path on CPU meshes)."""
+    env = os.environ.get("GECOZ_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+        d = jax.devices()[0]
+        if d.platform == "cpu":
+            return None                     # host RAM: not the constraint
+        stats = d.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return int(limit)
+    except Exception:                        # noqa: BLE001 — probe only
+        pass
+    return None
+
+
+def needs_sharded_sa(nbytes: int) -> bool:
+    """True when one block's device suffix sort cannot fit a single
+    device's HBM and must take the sharded kernel
+    (gecoz_tpu.parallel.sharded_sa) across the mesh."""
+    budget = device_hbm_bytes()
+    if budget is None:
+        return False
+    return nbytes * SA_DEVICE_BYTES_PER_CHAR > budget
