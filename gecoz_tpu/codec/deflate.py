@@ -178,11 +178,21 @@ def _find_matches_sa(window: np.ndarray):
 
     Windows are <= 32 KiB so every distance is automatically legal.
     Returns (match_len[i], match_dist[i]) per position.
+
+    The native kernel (native/lpf.cpp) runs the identical pipeline in C —
+    the production path; the numpy/python code below is its oracle
+    (tests/test_codec.py asserts agreement).
     """
     from gecoz_tpu.ops.sa import suffix_array
 
     n = len(window)
     sa = np.asarray(suffix_array(window), dtype=np.int64)
+    try:
+        from gecoz_tpu import native
+        if native.available() and n:
+            return native.lpf(window, sa, _MIN_MATCH, _MAX_MATCH)
+    except RuntimeError:
+        pass
     lcp = _lcp_kasai(window, sa)
 
     # sparse-table RMQ over lcp (vectorized per level)

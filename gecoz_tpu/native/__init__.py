@@ -78,6 +78,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.gecoz_lpf.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -294,6 +298,24 @@ def hswt_fill(bwt: np.ndarray, codes: np.ndarray, bit_lengths: np.ndarray,
         nb = (int(node_lengths[key]) + 7) >> 3
         out[key] = arena[node_off[i]:node_off[i] + nb]
     return out
+
+
+def lpf(s: np.ndarray, sa: np.ndarray, min_match: int,
+        max_match: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact longest-previous-factor per window position (lpf.cpp):
+    (match_len, match_dist) arrays; len 0 where no match >= min_match."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    sa32 = np.ascontiguousarray(sa, dtype=np.int32)
+    n = len(s)
+    out_len = np.zeros(n, dtype=np.int32)
+    out_dist = np.zeros(n, dtype=np.int32)
+    if n:
+        lib.gecoz_lpf(_u8ptr(s), _i32ptr(sa32), n, min_match, max_match,
+                      _i32ptr(out_len), _i32ptr(out_dist))
+    return out_len.astype(np.int64), out_dist.astype(np.int64)
 
 
 def wt_partition(bits: np.ndarray, positions: np.ndarray):

@@ -158,3 +158,33 @@ def test_gzipped_fasta_input(tmp_path, rng):
     driver.decompress(gcz, out)
     back = list(iter_fasta(out))
     assert bytes(back[0].data) == bytes(seq)
+
+
+def test_native_lpf_matches_python_oracle(rng):
+    """native/lpf.cpp vs the pure-python exact-LPF matcher (VERDICT r3 #8:
+    the SA matcher is now production speed — C pipeline, python oracle)."""
+    import unittest.mock as um
+
+    import gecoz_tpu.codec.deflate as D
+    from gecoz_tpu import native
+    from gecoz_tpu.ops.sa import suffix_array
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    wins = [
+        rng.integers(65, 69, size=8192).astype(np.uint8),
+        np.tile(np.frombuffer(b"abcabcabd", np.uint8), 1000)[:8000],
+        np.zeros(4000, np.uint8),
+    ]
+    for win in wins:
+        sa = np.asarray(suffix_array(win), dtype=np.int64)
+        ln, dn = native.lpf(win, sa, D._MIN_MATCH, D._MAX_MATCH)
+        with um.patch.object(native, "available", lambda: False):
+            lp, dp = D._find_matches_sa(win)
+        assert np.array_equal(ln, lp) and np.array_equal(dn, dp)
+
+
+def test_sa_matcher_roundtrip(rng):
+    from gecoz_tpu.codec.deflate import Deflater, inflate_bytes
+    data = bytes(rng.integers(60, 80, size=200_000).astype(np.uint8))
+    out = Deflater("sa").deflate(data).getvalue()
+    assert inflate_bytes(out) == data
