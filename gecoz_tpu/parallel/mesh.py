@@ -80,6 +80,42 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None):
     return jax.jit(lambda s: _suffix_array_runs_jit(s, syms=syms)[0])
 
 
+PREWARM_MIN_BYTES = 16 << 20
+
+
+def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> None:
+    """Pre-compile the singleton SA programs for future large buckets on a
+    daemon thread (first-run compile-storm mitigation, VERDICT r3 #9).
+
+    An hg38-profile encode needs ~3 distinct large-block programs at
+    25-40 s of remote compile each; issuing them concurrently with the
+    page-fault-bound FASTA read + the first window's encode hides them.
+    AOT lower/compile populates the persistent XLA compilation cache, so
+    the later real call deserializes instead of recompiling.  The symbol
+    guess comes from the first window's data; a block with a novel byte
+    just misses the warmup (correctness unaffected).
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    buckets = sorted({_bucket_size(s) for s in sizes
+                      if s >= PREWARM_MIN_BYTES})
+    if syms is not None and len(syms) > 7:
+        syms = None
+
+    def warm(npad: int) -> None:
+        try:
+            fn = _single_sa(npad, syms)
+            fn.lower(jax.ShapeDtypeStruct((npad,), jnp.uint8)).compile()
+        except Exception:                    # noqa: BLE001 — warmup only
+            pass
+
+    for npad in buckets:
+        threading.Thread(target=warm, args=(npad,), daemon=True).start()
+
+
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
     """True suffix arrays for variable-length blocks via one padded,
     vmapped device sort per size bucket.
@@ -110,8 +146,10 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
         batch = np.zeros((len(idxs), npad), dtype=np.uint8)
         for row, i in enumerate(idxs):
             batch[row, :len(blocks[i])] = blocks[i]
-        # static union alphabet (must cover every byte incl. the 0 pad)
-        syms = tuple(int(x) for x in np.unique(batch))
+        # static union alphabet (must cover every byte incl. the 0 pad);
+        # bincount, not unique — unique sorts the whole batch
+        syms = tuple(int(x) for x in np.flatnonzero(
+            np.bincount(batch.reshape(-1), minlength=256)))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
         if len(idxs) == 1:
@@ -149,43 +187,53 @@ def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
     from gecoz_tpu.index.ssa import SampledSAIndex
     from gecoz_tpu.ops.sa import bwt_from_sa
 
+    from gecoz_tpu.utils import metrics
+
     if backend == "auto":
         from gecoz_tpu.utils import accel
         big = max((len(b) for b in blocks), default=0)
         backend = ("device" if accel.device_worthwhile(big)
                    and accel.accelerator_ok() else "host")
 
-    sas = suffix_arrays_batched(blocks)
+    with metrics.phase("mesh.sa", sum(len(b) for b in blocks)):
+        sas = suffix_arrays_batched(blocks)
     sf = sampling_rate.bit_length() - 1
 
     def serialize(data, hdrs, sa, shape, hswt):
         n = len(data)
-        ssa = SampledSAIndex.build(sa, sampling_rate)
-        block_size = ref_header_length(hdrs) + shape.size
-        gcz = RefBlockHeader(hdrs, block_size, n).write() + hswt.serialize()
-        gcx = write_ssa_header(hdrs, index_size(n, sf)) + ssa.serialize()
-        return gcz, gcx
+        with metrics.phase("mesh.serialize", n):
+            ssa = SampledSAIndex.build(sa, sampling_rate)
+            block_size = ref_header_length(hdrs) + shape.size
+            gcz = (RefBlockHeader(hdrs, block_size, n).write()
+                   + hswt.serialize())
+            gcx = write_ssa_header(hdrs, index_size(n, sf)) + ssa.serialize()
+            return gcz, gcx
 
     futures = []
-    # 1 worker: block i's sampled-SA build + serialization overlaps block
-    # i+1's wavelet construction on the device
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    # serialize workers: block i's sampled-SA build + interleave (the
+    # native interleaver releases the GIL) overlap block i+1's wavelet
+    # construction on the device — the reference's intra-block 2-way
+    # overlap (GecozFileWriter.java:262-277) at mesh scale
+    with ThreadPoolExecutor(max_workers=2) as pool:
         for data, hdrs, sa in zip(blocks, headers, sas):
             shape = HSWTShape.from_counts(np.bincount(data, minlength=256))
-            bwt = bwt_from_sa(data, sa)
+            with metrics.phase("mesh.bwt", len(data)):
+                bwt = bwt_from_sa(data, sa)
             hswt = None
             if backend == "device":
                 from gecoz_tpu.ops.wavelet import build_hswt_device
                 try:
-                    hswt = HSWT.from_packed(shape,
-                                            build_hswt_device(bwt, shape))
+                    with metrics.phase("mesh.wavelet", len(data)):
+                        hswt = HSWT.from_packed(
+                            shape, build_hswt_device(bwt, shape))
                 except Exception as ex:      # noqa: BLE001 — device tier
                     import logging
                     logging.getLogger("gecoz").warning(
                         "device wavelet failed (%s: %s); host tier",
                         type(ex).__name__, ex)
             if hswt is None:
-                hswt = HSWT.build(bwt, shape)
+                with metrics.phase("mesh.wavelet_host", len(data)):
+                    hswt = HSWT.build(bwt, shape)
             futures.append(pool.submit(serialize, data, hdrs, sa, shape,
                                        hswt))
         out = [f.result() for f in futures]

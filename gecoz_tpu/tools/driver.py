@@ -117,11 +117,12 @@ def _index_blocks_mesh(blocks, read_block, w, sampling) -> None:
     window-level device failure falls back to the per-block host tier for
     that window (the degradation policy the per-block path already has).
     """
-    from gecoz_tpu.parallel.mesh import encode_blocks
+    from gecoz_tpu.parallel.mesh import encode_blocks, prewarm_buckets
     from gecoz_tpu.utils import metrics
 
     window: list[np.ndarray] = []
     hdrs: list[list[str]] = []
+    warmed = False
 
     def flush() -> None:
         if not window:
@@ -143,8 +144,17 @@ def _index_blocks_mesh(blocks, read_block, w, sampling) -> None:
         hdrs.clear()
 
     acc = 0
-    for block in blocks:
+    for i, block in enumerate(blocks):
         data = read_block(block)
+        if not warmed and len(blocks) > 1:
+            # pre-compile later windows' large-block SA programs while the
+            # page-fault-bound FASTA reads and window 1's encode run
+            sizes = [sum(s.length + 1 for s in b.sequences)
+                     for b in blocks[i + 1:]]
+            syms = tuple(int(x) for x in
+                         np.flatnonzero(np.bincount(data, minlength=256)))
+            prewarm_buckets(sizes, syms)
+            warmed = True
         window.append(data)
         hdrs.append(block.headers)
         acc += len(data)

@@ -272,6 +272,11 @@ def main(argv: list[str] | None = None) -> int:
 
     check_ok = driver.check(str(gcz), deep=False)
     print("--check:", "OK" if check_ok else "FAILED")
+    from gecoz_tpu.utils import metrics
+    rep = metrics.report()
+    if rep and not a.cli:
+        print("--- phase breakdown (in-process) ---")
+        print(rep, flush=True)
     print("LARGE-SCALE CHECK", "PASSED" if ok and check_ok else "FAILED",
           flush=True)
     return 0 if ok and check_ok else 1
