@@ -42,11 +42,61 @@ def query_length(ops: list[tuple[int, str]]) -> int:
     return sum(n for n, op in ops if op in QUERY_CONSUMING)
 
 
+# Canonical types of the predefined SAM tags — the data-driven equivalent
+# of the reference's SAMTagEnum + 50 per-tag classes (sam/tag/
+# SAMTagEnum.java:37-45): 'i' covers every integer width (c/C/s/S/i/I on
+# the BAM wire), '?' marks legacy tags the spec reserves without a type.
+SAM_TAG_TYPES = {
+    "AM": "i", "AS": "i", "BC": "Z", "BQ": "Z", "BZ": "Z", "CB": "Z",
+    "CC": "Z", "CG": "B", "CM": "i", "CO": "Z", "CP": "i", "CQ": "Z",
+    "CR": "Z", "CS": "Z", "CT": "Z", "CY": "Z", "E2": "Z", "FI": "i",
+    "FS": "Z", "FZ": "B", "GC": "?", "GQ": "?", "GS": "?", "H0": "i",
+    "H1": "i", "H2": "i", "HI": "i", "IH": "i", "LB": "Z", "MC": "Z",
+    "MD": "Z", "MF": "?", "MI": "Z", "MQ": "i", "NH": "i", "NM": "i",
+    "OA": "Z", "OC": "Z", "OP": "i", "OQ": "Z", "OX": "Z", "PG": "Z",
+    "PQ": "i", "PT": "Z", "PU": "Z", "Q2": "Z", "QT": "Z", "QX": "Z",
+    "R2": "Z", "RG": "Z", "RT": "?", "RX": "Z", "S2": "?", "SA": "Z",
+    "SM": "i", "SQ": "?", "TC": "i", "U2": "Z", "UQ": "i",
+}
+
+_INT_TYPES = set("cCsSiI")
+
+
+def is_local_tag(tag: str) -> bool:
+    """Locally-defined tags (X*, Y*, Z* or lowercase start) are free-form
+    per the SAM spec; everything else should match the registry."""
+    return len(tag) == 2 and (tag[0] in "XYZ" or tag[0].islower())
+
+
+def validate_tag(tag: str, typ: str) -> str | None:
+    """None when (tag, declared type) is consistent with the registry;
+    otherwise a human-readable problem description (the semantic check
+    SAMTagEnum's typed decode applies)."""
+    want = SAM_TAG_TYPES.get(tag)
+    if want is None:
+        return None if is_local_tag(tag) else \
+            f"unknown predefined-style tag {tag}"
+    if want == "?":
+        return None                           # reserved, untyped
+    got = "i" if typ in _INT_TYPES else typ
+    if got != want and not (want == "Z" and got == "H"):
+        return f"tag {tag} declared {typ}, registry says {want}"
+    return None
+
+
 @dataclass
 class SAMTag:
     tag: str       # two letters
     type: str      # A i f Z H B
     value: object
+
+    def canonical_type(self) -> str | None:
+        """Registered type for predefined tags, None for local ones."""
+        t = SAM_TAG_TYPES.get(self.tag)
+        return None if t in (None, "?") else t
+
+    def validate(self) -> str | None:
+        return validate_tag(self.tag, self.type)
 
     def format(self) -> str:
         if self.type == "B":
@@ -101,6 +151,10 @@ class SAMRecord:
             if t.tag == tag:
                 return t
         return None
+
+    def validate_tags(self) -> list[str]:
+        """Registry-check every tag (SAMTagEnum semantics); empty = clean."""
+        return [p for t in self.tags if (p := t.validate())]
 
     def format(self) -> str:
         fields = [self.qname, str(self.flag), self.rname, str(self.pos),

@@ -123,3 +123,28 @@ def test_sam_bam_sam_roundtrip(tmp_path, rng):
     orig_recs = [l for l in sam.read_text().splitlines() if not l.startswith("@")]
     back_recs = [l for l in back.read_text().splitlines() if not l.startswith("@")]
     assert orig_recs == back_recs
+
+
+def test_sam_tag_registry():
+    """Data-driven SAMTagEnum equivalent: canonical types + validation
+    (reference sam/tag/SAMTagEnum.java:37-45)."""
+    from gecoz_tpu.formats.sam import (SAM_TAG_TYPES, SAMRecord, SAMTag,
+                                       validate_tag)
+    assert SAM_TAG_TYPES["NM"] == "i" and SAM_TAG_TYPES["MD"] == "Z"
+    assert len(SAM_TAG_TYPES) == 59
+    # consistent: predefined with right type, int width variants, local
+    assert validate_tag("NM", "i") is None
+    assert validate_tag("NM", "c") is None        # BAM narrow int widths
+    assert validate_tag("XX", "f") is None        # local namespace
+    assert validate_tag("za", "Z") is None        # lowercase = local
+    assert validate_tag("GC", "Z") is None        # reserved '?' tag
+    # inconsistent
+    assert validate_tag("NM", "Z") is not None
+    assert validate_tag("MD", "i") is not None
+    assert validate_tag("QQ", "i") is not None    # unknown predefined-style
+    rec = SAMRecord.parse(
+        "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tFFFF\tNM:i:1\tMD:Z:4")
+    assert rec.validate_tags() == []
+    rec.tags.append(SAMTag("NM", "Z", "oops"))
+    assert len(rec.validate_tags()) == 1
+    assert rec.get_tag("NM").canonical_type() == "i"
