@@ -54,24 +54,35 @@ def apply_perm(dest, *vals):
     return outs if len(outs) > 1 else outs[0]
 
 
-def _sort_rerank(key1, key2, iota):
-    """Sort positions by (key1, key2); return (new dense ranks in position
-    order, sort order, all-distinct flag).
+def _sort_rerank_n(keys: tuple, iota):
+    """Sort positions by the key tuple; return (new dense ranks in
+    position order, sort order, all-distinct flag).
 
-    NB more keys per round (prefix tripling/quadrupling) would cut round
-    counts, but >3-operand lax.sort inside a while_loop blows up Mosaic
-    compile time by an order of magnitude.
+    NB more keys per round (prefix tripling/quadrupling) cuts round
+    counts, but >3-operand lax.sort INSIDE a while_loop blows up Mosaic
+    compile time by an order of magnitude — callers inside the doubling
+    loop stay at 2 keys; the one round that runs outside the loop may go
+    wider (see `packed_round`'s nkeys).
     """
     from gecoz_tpu.ops.scan_pallas import cumsum_i32
     n = iota.shape[0]
-    k1s, k2s, order = jax.lax.sort((key1, key2, iota), num_keys=2)
+    out = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys))
+    ks, order = out[:-1], out[-1]
+    diff = jnp.zeros((n - 1,), jnp.bool_)
+    for k in ks:
+        diff = diff | (k[1:] != k[:-1])
     new_group = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)])
+        jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)])
     ranks_in_order = cumsum_i32(new_group) - 1
     rank = apply_perm(order, ranks_in_order)
     done = ranks_in_order[n - 1] == n - 1
     return rank, order, done
+
+
+def _sort_rerank(key1, key2, iota):
+    """2-key variant (the only width safe inside while_loop — see
+    _sort_rerank_n)."""
+    return _sort_rerank_n((key1, key2), iota)
 
 
 def _sort_rerank1(key, iota):
@@ -283,7 +294,15 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         tp[p] = t
     pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - iota)
 
-    def packed_round(rank, k):
+    def packed_round(rank, k, nkeys: int = 2):
+        """One doubling round covering nkeys*p tokens per sort.
+
+        nkeys > 2 widens the lax.sort to nkeys+1 operands — safe ONLY for
+        the round that runs OUTSIDE the while_loop (wide sorts inside a
+        while_loop are a Mosaic compile cliff); the first round's deeper
+        coverage (e.g. 12 tokens at nkeys=3, p=4) finishes random text in
+        one round where two were needed.
+        """
         B = jnp.max(jnp.where(iota < m, rank, -1)) + 2   # bound + 1 offset
 
         def sh(t):
@@ -291,7 +310,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
             # -1 anyway); the where discards the wrapped product safely
             off = jnp.where(k > n // t, jnp.int32(n), t * k)
             return shifted(rank, off) + 1
-        r = [rank] + [sh(t) for t in range(1, 10)]
+        r = [rank] + [sh(t) for t in range(1, 5 * nkeys)]
 
         def pack(vals, B):
             acc = vals[0]
@@ -299,19 +318,20 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
                 acc = acc * B + v        # wraps harmlessly when unselected
             return acc
         # deepest packing whose worst-case key stays below the pad band
-        key1, key2, mult = r[0], r[1], jnp.int32(2)
+        keys = [r[j] for j in range(nkeys)]
+        mult = jnp.int32(nkeys)
         for p in (2, 3, 4, 5):
             ok = B <= tp[p]
-            key1 = jnp.where(ok, pack(r[:p], B), key1)
-            key2 = jnp.where(ok, pack(r[p:2 * p], B), key2)
-            mult = jnp.where(ok, jnp.int32(2 * p), mult)
-        key1 = jnp.where(iota < m, key1, pad_key1)
-        key2 = jnp.where(iota < m, key2, 0)
-        rank, _, done = _sort_rerank(key1, key2, iota)
+            keys = [jnp.where(ok, pack(r[j * p:(j + 1) * p], B), keys[j])
+                    for j in range(nkeys)]
+            mult = jnp.where(ok, jnp.int32(nkeys * p), mult)
+        keys[0] = jnp.where(iota < m, keys[0], pad_key1)
+        keys[1:] = [jnp.where(iota < m, kk, 0) for kk in keys[1:]]
+        rank, _, done = _sort_rerank_n(tuple(keys), iota)
         # k invariant: rank entering a round always orders by < n tokens
         # (depth >= n makes all ranks distinct, so done exits first); cap
-        # the multiplier where k*10 could wrap int32 (k*2 never can)
-        mult = jnp.where(k > ((1 << 31) - 1) // 10, 2, mult)
+        # the multiplier where k*mult could wrap int32 (k*2 never can)
+        mult = jnp.where(k > ((1 << 31) - 1) // (5 * nkeys), 2, mult)
         return rank, k * mult, done
 
     def body(state):
@@ -322,7 +342,9 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         _, k, done = state
         return jnp.logical_and(~done, k < 2 * n)
 
-    rank, k1, done1 = packed_round(tok, jnp.int32(1))
+    import os
+    r1_keys = int(os.environ.get("GECOZ_R1_KEYS", "3"))
+    rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=r1_keys)
     rank, _, _ = jax.lax.while_loop(
         cond, body, (rank, k1, done1 | done0))
 
