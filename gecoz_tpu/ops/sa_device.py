@@ -224,12 +224,15 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1                       # remaining run length >= 1
     if pack_seed:
-        # the whole run key (c, side, +/-ell) in one int31 word: a 1-key
-        # seed sort (2 operands) instead of a 2-key one (3 operands)
+        # the whole run key (c, side, +/-ell) packs into one int31 word —
+        # and an order-isomorphic key IS a rank: nothing downstream needs
+        # density (the compaction re-densifies over start values, the
+        # final sort only compares), so the seed sort + its rerank sort
+        # are skipped entirely.  rank0 := the packed key itself.
         above = (~below).astype(jnp.int32)
-        key = ((codes << (1 + eb)) | (above << eb)
-               | jnp.where(below, ell, (1 << eb) - ell))
-        rank0, _, done0 = _sort_rerank1(key, iota)
+        rank0 = ((codes << (1 + eb)) | (above << eb)
+                 | jnp.where(below, ell, (1 << eb) - ell))
+        done0 = jnp.asarray(False)       # loop exit rides round 1's done
     else:
         key1 = (codes << 1) | (~below).astype(jnp.int32)
         key2 = jnp.where(below, ell, -ell)
@@ -248,7 +251,11 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     if _scatter_is_cheap():
         drop = jnp.where(is_start, run_id, n)
         tok = (n + iota).at[drop].set(rank0, mode="drop")
-        tok, _, _ = _sort_rerank1(tok, iota)       # densify (cheap on CPU)
+        # densify with the pad flag as the leading key: rank0 may be the
+        # raw (non-dense) packed seed key, which can collide with the
+        # n+iota pad values — the flag keeps pads behind every real token
+        pad = (iota >= m).astype(jnp.int32)
+        tok, _, _ = _sort_rerank(pad, tok, iota)
     else:
         # Fused compaction + densify in two sorts (vs one compaction sort
         # + a separate two-sort rerank):
@@ -260,11 +267,15 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         #     starts_full[j] = position of the j-th run start (consumed
         #     by the nr fill below).  Partition keys pack above the
         #     position (n < 2^30 per the guard).
-        vkey = jnp.where(is_start, rank0, n + iota)
-        vks, order1 = jax.lax.sort((vkey, iota), num_keys=1)
+        # leading not-a-start key instead of a sentinel band: rank0 may be
+        # the raw packed seed key (order-isomorphic, non-dense), whose
+        # range collides with any in-band sentinel
+        nst = (~is_start).astype(jnp.int32)
+        nsts, vks, order1 = jax.lax.sort((nst, rank0, iota), num_keys=2)
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
-            (vks[1:] != vks[:-1]).astype(jnp.int32)])
+            ((vks[1:] != vks[:-1])
+             | (nsts[1:] != nsts[:-1])).astype(jnp.int32)])
         dvr = cumsum_i32(new_group) - 1
         pkey = jnp.where(iota < m, order1, (1 << 30) + iota)
         _, dense_rank, starts_full = jax.lax.sort(

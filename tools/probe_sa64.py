@@ -134,15 +134,16 @@ def _capped_rounds(s, rounds: int, syms):
     below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1
     above = (~below).astype(jnp.int32)
-    key = ((codes << (1 + eb)) | (above << eb)
-           | jnp.where(below, ell, (1 << eb) - ell))
-    rank0, _, done0 = _sort_rerank1(key, iota)
+    rank0 = ((codes << (1 + eb)) | (above << eb)
+             | jnp.where(below, ell, (1 << eb) - ell))
+    done0 = jnp.asarray(False)
 
-    vkey = jnp.where(is_start, rank0, n + iota)
-    vks, order1 = jax.lax.sort((vkey, iota), num_keys=1)
+    nst = (~is_start).astype(jnp.int32)
+    nsts, vks, order1 = jax.lax.sort((nst, rank0, iota), num_keys=2)
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
-        (vks[1:] != vks[:-1]).astype(jnp.int32)])
+        ((vks[1:] != vks[:-1])
+         | (nsts[1:] != nsts[:-1])).astype(jnp.int32)])
     dvr = cumsum_i32(new_group) - 1
     pkey = jnp.where(iota < m, order1, (1 << 30) + iota)
     _, dense_rank, starts_full = jax.lax.sort(
@@ -163,34 +164,37 @@ def _capped_rounds(s, rounds: int, syms):
         tp[p] = t
     pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - iota)
 
-    def packed_round(rank, k):
+    from gecoz_tpu.ops.sa_device import _sort_rerank_n
+
+    def packed_round(rank, k, nkeys=2):
         B = jnp.max(jnp.where(iota < m, rank, -1)) + 2
 
         def sh(t):
             off = jnp.where(k > n // t, jnp.int32(n), t * k)
             return shifted(rank, off) + 1
-        r = [rank] + [sh(t) for t in range(1, 10)]
+        r = [rank] + [sh(t) for t in range(1, 5 * nkeys)]
 
         def pack(vals, B):
             acc = vals[0]
             for v in vals[1:]:
                 acc = acc * B + v
             return acc
-        key1, key2, mult = r[0], r[1], jnp.int32(2)
+        keys = [r[j] for j in range(nkeys)]
+        mult = jnp.int32(nkeys)
         for p in (2, 3, 4, 5):
             ok = B <= tp[p]
-            key1 = jnp.where(ok, pack(r[:p], B), key1)
-            key2 = jnp.where(ok, pack(r[p:2 * p], B), key2)
-            mult = jnp.where(ok, jnp.int32(2 * p), mult)
-        key1 = jnp.where(iota < m, key1, pad_key1)
-        key2 = jnp.where(iota < m, key2, 0)
-        rank, _, done = _sort_rerank(key1, key2, iota)
-        mult = jnp.where(k > ((1 << 31) - 1) // 10, 2, mult)
+            keys = [jnp.where(ok, pack(r[j * p:(j + 1) * p], B), keys[j])
+                    for j in range(nkeys)]
+            mult = jnp.where(ok, jnp.int32(nkeys * p), mult)
+        keys[0] = jnp.where(iota < m, keys[0], pad_key1)
+        keys[1:] = [jnp.where(iota < m, kk, 0) for kk in keys[1:]]
+        rank, _, done = _sort_rerank_n(tuple(keys), iota)
+        mult = jnp.where(k > ((1 << 31) - 1) // (5 * nkeys), 2, mult)
         return rank, k * mult, done
 
     if rounds == 0:
         return tok
-    rank, k1, done1 = packed_round(tok, jnp.int32(1))
+    rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=3)
 
     def body(state):
         rank, k, _, r = state
