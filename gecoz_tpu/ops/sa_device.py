@@ -132,9 +132,11 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
         padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
         return jax.lax.dynamic_slice(padded, (k,), (n,))
 
-    # compact the packed ranks with one sort
-    rank, order, done0 = _sort_rerank(rank, jnp.zeros(n, jnp.int32), iota)
-
+    # the packed k-mer word is order-isomorphic and equal exactly for
+    # equal chars_per-prefixes — it IS a valid (non-dense) rank, so the
+    # seed densification sort is skipped; the first doubling round (run
+    # unconditionally, so `order` is always a real sort order) starts
+    # directly from the packed words
     def body(state):
         rank, order, k, _ = state
         rank, order, done = _sort_rerank(rank, shifted(rank, k), iota)
@@ -144,10 +146,12 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
         _, _, k, done = state
         return jnp.logical_and(~done, k < 2 * n)
 
+    rank, order, done1 = _sort_rerank(
+        rank, shifted(rank, jnp.int32(min(chars_per, n))), iota)
     # once ranks are all distinct, the last round's sort order IS the
     # suffix array — no final argsort needed
     _, order, _, _ = jax.lax.while_loop(
-        cond, body, (rank, order, jnp.int32(chars_per), done0))
+        cond, body, (rank, order, jnp.int32(chars_per * 2), done1))
 
     return order.astype(jnp.int32)
 
