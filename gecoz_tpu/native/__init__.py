@@ -8,7 +8,9 @@ missing toolchain only costs speed, never correctness.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -16,9 +18,29 @@ import numpy as np
 _DIR = Path(__file__).parent
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
+_LOCK = threading.Lock()
+
+
+def _build(so: Path) -> None:
+    """(Re)build the library atomically: compile to a private temp name,
+    then rename over the target — concurrent processes either see the old
+    complete .so or the new complete .so, never a half-written one."""
+    tmp = _DIR / f".libgecoz.{os.getpid()}.so"
+    srcs = sorted(str(p) for p in _DIR.glob("*.cpp"))
+    subprocess.run(
+        ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-march=native",
+         "-o", str(tmp), *srcs],
+        check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        return _load_locked()
+
+
+def _load_locked() -> ctypes.CDLL | None:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
@@ -27,9 +49,14 @@ def _load() -> ctypes.CDLL | None:
     try:
         newest = max(p.stat().st_mtime for p in _DIR.glob("*.cpp"))
         if not so.is_file() or so.stat().st_mtime < newest:
-            subprocess.run(["make", "-C", str(_DIR)], check=True,
-                           capture_output=True)
-        lib = ctypes.CDLL(str(so))
+            _build(so)
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            # possible torn read of a concurrent writer's old non-atomic
+            # build; rebuild once through the atomic path
+            _build(so)
+            lib = ctypes.CDLL(str(so))
         lib.gecoz_sais_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
