@@ -24,13 +24,20 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, repeat=2):
+def _sync(out):
+    """Force execution via a scalar FETCH — on the remote-relay backend
+    block_until_ready does not actually wait (bench.py uses the same
+    workaround)."""
     import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    return int(np.asarray(leaves[0].ravel()[:1])[0])
+
+
+def timeit(fn, *args, repeat=2):
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -59,8 +66,8 @@ def main() -> None:
 
         s2 = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1))
         s3 = jax.jit(lambda a, b, c: jax.lax.sort((a, b, c), num_keys=2))
-        jax.block_until_ready(s2(k1, iota))
-        jax.block_until_ready(s3(k1, k2, iota))
+        _sync(s2(k1, iota))
+        _sync(s3(k1, k2, iota))
         t2 = timeit(s2, k1, iota)
         t3 = timeit(s3, k1, k2, iota)
         print(f"[{mi}Mi] lax.sort 2-op {t2*1e3:.0f} ms  3-op {t3*1e3:.0f} ms"
@@ -70,7 +77,7 @@ def main() -> None:
         syms = tuple(int(x) for x in np.unique(data))
         sa_fn = jax.jit(lambda s: _suffix_array_runs_jit(s, syms=syms)[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(sa_fn(d))
+        _sync(sa_fn(d))
         print(f"[{mi}Mi] SA compile+run {time.perf_counter()-t0:.1f}s",
               flush=True)
         t_sa = timeit(sa_fn, d)
@@ -80,7 +87,7 @@ def main() -> None:
         from gecoz_tpu.ops.pipeline import index_block
         ib = jax.jit(index_block)
         t0 = time.perf_counter()
-        jax.block_until_ready(ib(d))
+        _sync(ib(d))
         print(f"[{mi}Mi] index compile+run {time.perf_counter()-t0:.1f}s",
               flush=True)
         t_ib = timeit(ib, d)
@@ -94,7 +101,7 @@ def main() -> None:
         prev = None
         for r in range(0, 7):
             fn = jax.jit(ft.partial(_capped_rounds, rounds=r, syms=syms))
-            jax.block_until_ready(fn(d))
+            _sync(fn(d))
             t = timeit(fn, d)
             d_ms = (t - prev) * 1e3 if prev is not None else float("nan")
             print(f"[{mi}Mi] rounds<={r}: {t*1e3:.0f} ms"
