@@ -206,24 +206,35 @@ def _shift_k(rank: jax.Array, k, ig: jax.Array, n: int, axis: str,
     return jnp.where(ig < end - k, y, jnp.int32(-1))
 
 
-def _sort_rerank(key1, key2, pos, vals: tuple, n: int, axis: str, D: int):
-    """Sort by (key1, key2, pos) — pos is the distinctness tiebreaker,
-    making the whole pipeline effectively stable; dense re-rank ignores
-    it.  `vals` ride the sort.  Returns (rank_by_position,
-    pos_in_rank_order, vals_in_rank_order, all_distinct)."""
-    ops = sorted_sharded((key1, key2, pos) + tuple(vals), 3, axis, D)
-    k1s, k2s, pos_s = ops[0], ops[1], ops[2]
-    vals_s = ops[3:]
-    p1 = _prev_last(k1s, axis, D, jnp.int32(-(2 ** 31) + 1))
-    p2 = _prev_last(k2s, axis, D, jnp.int32(-(2 ** 31) + 1))
-    prev1 = jnp.concatenate([p1, k1s[:-1]])
-    prev2 = jnp.concatenate([p2, k2s[:-1]])
-    new_group = ((k1s != prev1) | (k2s != prev2)).astype(jnp.int32)
+def _sort_rerank_n(keys: tuple, pos, vals: tuple, n: int, axis: str,
+                   D: int):
+    """Sort by (*keys, pos) — pos is the distinctness tiebreaker, making
+    the whole pipeline effectively stable; dense re-rank ignores it.
+    `vals` ride the sort.  Returns (rank_by_position, pos_in_rank_order,
+    vals_in_rank_order, all_distinct).
+
+    Wider key tuples are for rounds OUTSIDE while_loop only (the Mosaic
+    wide-sort-in-loop compile cliff, see ops/sa_device.py)."""
+    nk = len(keys)
+    ops = sorted_sharded(tuple(keys) + (pos,) + tuple(vals), nk + 1,
+                         axis, D)
+    ks, pos_s = ops[:nk], ops[nk]
+    vals_s = ops[nk + 1:]
+    diff = jnp.zeros(ks[0].shape, jnp.bool_)
+    for k in ks:
+        p = _prev_last(k, axis, D, jnp.int32(-(2 ** 31) + 1))
+        diff = diff | (k != jnp.concatenate([p, k[:-1]]))
+    new_group = diff.astype(jnp.int32)
     ranks_sorted = _global_cumsum(new_group, axis, D) - 1
     done = jax.lax.pmax(ranks_sorted[-1], axis) == n - 1
     # ranks back to position order: one more value-carrying sort
     _, rank_pos = sorted_sharded((pos_s, ranks_sorted), 1, axis, D)
     return rank_pos, pos_s, vals_s, done
+
+
+def _sort_rerank(key1, key2, pos, vals: tuple, n: int, axis: str, D: int):
+    """2-key variant (the only width safe inside while_loop)."""
+    return _sort_rerank_n((key1, key2), pos, vals, n, axis, D)
 
 
 def _bwt_source(s_l, ig, n_r, axis: str, D: int) -> jax.Array:
@@ -383,10 +394,11 @@ def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
             (a rotation, not a sort — see _shift_k)."""
             return _shift_k(rank, k, ig, n, axis, D, limit=m)
 
-        def trerank(r1, r2):
-            k1 = jnp.where(ig < m, r1, pad_key1)
-            k2 = jnp.where(ig < m, r2, 0)
-            rank, _, _, done = _sort_rerank(k1, k2, ig, (), n, axis, D)
+        def trerank(keys):
+            ks = ([jnp.where(ig < m, keys[0], pad_key1)]
+                  + [jnp.where(ig < m, kk, 0) for kk in keys[1:]])
+            rank, _, _, done = _sort_rerank_n(tuple(ks), ig, (), n,
+                                              axis, D)
             return rank, done
 
         # Adaptive rank packing (ops/sa_device.py:247-289, distributed):
@@ -401,26 +413,31 @@ def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
         while (t2 + 1) ** 2 <= (1 << 31) - n - 2:
             t2 += 1
 
-        def packed_round(rank, k):
+        def packed_round(rank, k, nkeys: int = 2):
+            """One token-doubling round covering up to 3*nkeys*k tokens.
+
+            nkeys > 2 widens the distributed sort — used ONLY for the
+            first round, which runs outside the while_loop (the Mosaic
+            wide-sort-in-loop compile cliff)."""
             B = jax.lax.pmax(
                 jnp.max(jnp.where(ig < m, rank, -1)), axis) + 2
 
             def sh(t):
                 off = jnp.where(k > n // t, jnp.int32(n), t * k)
                 return tshift(rank, off) + 1
-            r0 = rank
-            r1, r2, r3, r4, r5 = sh(1), sh(2), sh(3), sh(4), sh(5)
+            r = [rank] + [sh(t) for t in range(1, 3 * nkeys)]
             p3 = B <= t3
             p2 = B <= t2
-            key1 = jnp.where(
-                p3, (r0 * B + r1) * B + r2,
-                jnp.where(p2, r0 * B + r1, r0))
-            key2 = jnp.where(
-                p3, (r3 * B + r4) * B + r5,
-                jnp.where(p2, r2 * B + r3, r1))
-            rank, done = trerank(key1, key2)
-            mult = jnp.where(p3, 6, jnp.where(p2, 4, 2)).astype(jnp.int32)
-            mult = jnp.where(k > ((1 << 31) - 1) // 6, 2, mult)
+            keys = []
+            for j in range(nkeys):
+                kj3 = (r[3 * j] * B + r[3 * j + 1]) * B + r[3 * j + 2]
+                kj2 = r[2 * j] * B + r[2 * j + 1]
+                keys.append(jnp.where(p3, kj3, jnp.where(p2, kj2, r[j])))
+            rank, done = trerank(keys)
+            mult = jnp.where(p3, 3 * nkeys,
+                             jnp.where(p2, 2 * nkeys,
+                                       nkeys)).astype(jnp.int32)
+            mult = jnp.where(k > ((1 << 31) - 1) // (3 * nkeys), 2, mult)
             return rank, k * mult, done
 
         def body(state):
@@ -431,7 +448,7 @@ def _suffix_array_sharded_runs_jit(s: jax.Array, n_real: jax.Array, *,
             _, k, done = state
             return jnp.logical_and(~done, k < 2 * n)
 
-        rank, k1, done1 = packed_round(tok, jnp.int32(1))
+        rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=3)
         rank, _, _ = jax.lax.while_loop(
             cond, body, (rank, k1, done1 | done0))
 
