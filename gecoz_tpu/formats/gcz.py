@@ -149,6 +149,12 @@ def encode_block(data: np.ndarray, headers: list[str],
     """
     data = np.asarray(data, dtype=np.uint8)
     n = len(data)
+    if n >= 1 << 31:
+        # same ceiling as the reference (int[] SA, SAIS.java:103); the
+        # block merge policy caps blocks at the largest single sequence,
+        # so only a >=2 GiB single sequence can reach here
+        raise ValueError("blocks are capped at 2^31 bytes by the int32-SA "
+                         "contract (SAIS.java:103)")
     from gecoz_tpu.utils.hostmem import warm_for_block
     warm_for_block(n)
     counts = np.bincount(data, minlength=256).astype(np.int64)

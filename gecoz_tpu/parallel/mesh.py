@@ -193,6 +193,11 @@ def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
 
     from gecoz_tpu.utils import metrics
 
+    for b in blocks:
+        if len(b) >= 1 << 31:
+            raise ValueError("blocks are capped at 2^31 bytes by the "
+                             "int32-SA contract (SAIS.java:103)")
+
     if backend == "auto":
         from gecoz_tpu.utils import accel
         big = max((len(b) for b in blocks), default=0)
