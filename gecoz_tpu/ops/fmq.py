@@ -794,6 +794,7 @@ def decode_text_device(fm) -> np.ndarray:
     kernel, walk state on-chip); anything else (or any kernel failure)
     uses the XLA fused-LF^k path.  GECOZ_NO_PALLAS=1 disables the kernel.
     """
+    import logging
     import os
     block = jax.jit(with_lf_table)(device_block_from_fm(fm))
     if (jax.default_backend() == "tpu"
@@ -803,6 +804,10 @@ def decode_text_device(fm) -> np.ndarray:
             try:
                 return np.asarray(
                     lfwalk_pallas.decode_text_pallas_jit(block))
-            except Exception:          # noqa: BLE001 — Mosaic/VMEM limits
-                pass                   # fall through to the XLA path
+            except Exception as ex:    # noqa: BLE001 — Mosaic/VMEM limits
+                # fall through to the XLA path, but LOUDLY: a silent
+                # always-fallback is indistinguishable from a win
+                logging.getLogger("gecoz").warning(
+                    "Pallas LF-walk kernel fell back (%s: %s); "
+                    "XLA fused-LF^k decode", type(ex).__name__, ex)
     return np.asarray(decode_text_jit(block))
