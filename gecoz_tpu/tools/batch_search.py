@@ -34,9 +34,17 @@ def find_batched(fm, patterns: list[bytes],
         return []
     if device_block is None:
         # kmer table seeds the searches; the locate table turns each hit's
-        # rate-step LF walk into ONE 8-byte gather (fmq.with_locate_table)
-        device_block = fmq.with_locate_table(
-            fmq.with_kmer_table(fmq.device_block_from_fm(fm)))
+        # rate-step LF walk into ONE 8-byte gather (fmq.with_locate_table).
+        # Its pointer-doubling build keeps ~8 int32 sort operands in
+        # flight, so chr1-class blocks on a tight HBM budget keep the
+        # fused-LF walk instead.
+        from gecoz_tpu.utils import accel
+        budget = accel.device_hbm_bytes()
+        base = fmq.with_kmer_table(fmq.device_block_from_fm(fm))
+        if budget is None or fm.length * 40 <= budget:
+            device_block = fmq.with_locate_table(base)
+        else:
+            device_block = fmq.with_lf_table(base, decode=False)
     arr, lens = pack_patterns(patterns)
     sp, ep = fmq.search_batch(device_block, jnp.asarray(arr),
                               jnp.asarray(lens))
