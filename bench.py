@@ -110,7 +110,13 @@ def main() -> None:
     rtt = timeit(null, d, repeat=5)
     print(f"# rtt floor: {rtt*1e3:.1f} ms", file=sys.stderr)
 
-    index_ck = jax.jit(lambda x: _checksum(index_block(x)))
+    from gecoz_tpu.ops.sa_device import runs_m_pad
+    mp = runs_m_pad(data)
+
+    def _index_ck_fn(mp_static):
+        return jax.jit(lambda x: _checksum(index_block(x, m_pad=mp_static)))
+
+    index_ck = _index_ck_fn(mp)
     t0 = time.perf_counter()
     int(np.asarray(index_ck(d)))
     print(f"# index compile+run: {time.perf_counter() - t0:.1f}s",
@@ -179,11 +185,12 @@ def main() -> None:
     if platform != "cpu-fallback" and ln > n:
         ldata = synth_dna(ln, seed=11)
         ld = jax.device_put(jnp.asarray(ldata), dev)
+        lindex_ck = _index_ck_fn(runs_m_pad(ldata))
         t0 = time.perf_counter()
-        int(np.asarray(index_ck(ld)))
+        int(np.asarray(lindex_ck(ld)))
         print(f"# large index compile+run: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
-        t_lindex = timeit(index_ck, ld, repeat=2)
+        t_lindex = timeit(lindex_ck, ld, repeat=2)
         lmbps_index = ln / 1e6 / t_lindex
         print(f"# large index ({ln >> 20} MiB): {t_lindex*1e3:.0f} ms -> "
               f"{lmbps_index:.1f} MB/s (rtt {rtt / t_lindex * 100:.1f}%)",

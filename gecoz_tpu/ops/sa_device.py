@@ -156,9 +156,12 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nr_mode", "syms"))
+@functools.partial(jax.jit, static_argnames=("nr_mode", "syms", "r1_keys",
+                                             "m_pad"))
 def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
-                           syms: tuple[int, ...] | None = None):
+                           syms: tuple[int, ...] | None = None,
+                           r1_keys: int | None = None,
+                           m_pad: int | None = None):
     # `syms`: static alphabet covering EVERY byte of `s` (bytes outside it
     # would alias a neighbor's dense code).  When given and small enough,
     # the whole run key packs into one int31 word -> 1-key seed sort.
@@ -191,12 +194,20 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
 
     Returns (sa, bwt).  No dense packing table needed — run keys already
     compress better than k-mers wherever runs exist.
+
+    ``m_pad``: static upper bound on the RUN COUNT of `s` (caller contract
+    — one cheap host pass, see `runs_m_pad`).  The token-string doubling
+    then runs on arrays of that length instead of n (~0.75n for DNA), so
+    every doubling-phase sort sheds ~25% of its elements.  None keeps the
+    n-sized behavior (required when `s` is a tracer the host never saw).
     """
     n = s.shape[0]
     if n >= 1 << 30:
         raise ValueError("run-aware device SA packs (position, side) into "
                          "int31; split blocks above 1 GiB")
+    M = n if m_pad is None else max(1, min(int(m_pad), n))
     iota = jnp.arange(n, dtype=jnp.int32)
+    iota_m = iota if M == n else jnp.arange(M, dtype=jnp.int32)
     eb = int(n).bit_length()                   # ell fits eb bits (ell <= n)
     sym_bits = max(len(syms), 1).bit_length() if syms else 0
     pack_seed = bool(syms) and sym_bits + 1 + eb <= 31
@@ -210,20 +221,19 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     else:
         codes = s.astype(jnp.int32) + 1
     nxt = jnp.concatenate([codes[1:], jnp.full((1,), -1, jnp.int32)])
-    from gecoz_tpu.ops.scan_pallas import (cummax_i32, cummin_rev_i32,
-                                           cumsum_i32)
+    from gecoz_tpu.ops.scan_pallas import (cumsum_i32, fill_fwd_i32,
+                                           fill_rev_i32)
     is_end = codes != nxt                      # last position of each run
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), is_end[:-1]])
     run_id = cumsum_i32(is_start.astype(jnp.int32)) - 1
     m = run_id[n - 1] + 1                      # number of runs (traced)
-    # one reverse cummin carries (run end position << 1 | below-side bit):
-    # `below` = symbol after the run < run symbol (end-of-text counts
-    # below), constant per run so the run end's bit is every member's.
-    # (An associative_scan fill works too but is a Mosaic compile cliff.)
+    # one backward segmented fill carries (run end position << 1 |
+    # below-side bit) to every member: `below` = symbol after the run <
+    # run symbol (end-of-text counts below), constant per run.  The last
+    # position is always an end, so the fill never returns -1.
     below_end = nxt < codes
-    packed = jnp.where(is_end, (iota << 1) | below_end.astype(jnp.int32),
-                       jnp.int32(2) * n)
-    v = cummin_rev_i32(packed)
+    v = fill_rev_i32(jnp.where(
+        is_end, (iota << 1) | below_end.astype(jnp.int32), jnp.int32(-1)))
     nde = v >> 1                               # inclusive next run end
     below = (v & 1).astype(jnp.bool_)
     ell = nde - iota + 1                       # remaining run length >= 1
@@ -260,6 +270,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         # n+iota pad values — the flag keeps pads behind every real token
         pad = (iota >= m).astype(jnp.int32)
         tok, _, _ = _sort_rerank(pad, tok, iota)
+        tok = tok[:M]
     else:
         # Fused compaction + densify in two sorts (vs one compaction sort
         # + a separate two-sort rerank):
@@ -284,13 +295,16 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         pkey = jnp.where(iota < m, order1, (1 << 30) + iota)
         _, dense_rank, starts_full = jax.lax.sort(
             (pkey, dvr, order1), num_keys=1)
-        tok = jnp.where(iota < m, dense_rank, n + iota)
+        # token-slot arrays shrink to M (slots >= m are inert pads either
+        # way; sort2 itself stays n-wide — `starts_full` must remain a
+        # full position permutation for the placed sort below)
+        tok = jnp.where(iota < m, dense_rank, n + iota)[:M]
 
     def shifted(r, k):
-        padded = jnp.concatenate([r, jnp.full((n,), -1, jnp.int32)])
-        out = jax.lax.dynamic_slice(padded, (k,), (n,))
-        # the token string ends at slot m, not n: past-the-end reads -1
-        return jnp.where(iota + k >= m, -1, out)
+        padded = jnp.concatenate([r, jnp.full((M,), -1, jnp.int32)])
+        out = jax.lax.dynamic_slice(padded, (k,), (M,))
+        # the token string ends at slot m, not M: past-the-end reads -1
+        return jnp.where(iota_m + k >= m, -1, out)
 
     # Adaptive rank packing: while the group count G is small, p in 2..5
     # ranks fit one int32 key ((G+1)^p below the pad-key band), so each
@@ -300,14 +314,14 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     # Mosaic-hostile wide sorts).  Padding slots get keys in the reserved
     # top band (INT32_MAX - n, INT32_MAX] so they always sort last
     # whatever the packing.
-    lim = (1 << 31) - n - 2
+    lim = (1 << 31) - M - 2
     tp = {}
     for p in (2, 3, 4, 5):
         t = 1
         while (t + 1) ** p <= lim:
             t += 1
         tp[p] = t
-    pad_key1 = jnp.int32((1 << 31) - 1) - (n - 1 - iota)
+    pad_key1 = jnp.int32((1 << 31) - 1) - (M - 1 - iota_m)
 
     def packed_round(rank, k, nkeys: int = 2):
         """One doubling round covering nkeys*p tokens per sort.
@@ -318,7 +332,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         coverage (e.g. 12 tokens at nkeys=3, p=4) finishes random text in
         one round where two were needed.
         """
-        B = jnp.max(jnp.where(iota < m, rank, -1)) + 2   # bound + 1 offset
+        B = jnp.max(jnp.where(iota_m < m, rank, -1)) + 2  # bound + 1 offset
 
         def sh(t):
             # shift by t*k, saturating at n (depth past the end reads all
@@ -340,9 +354,9 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
             keys = [jnp.where(ok, pack(r[j * p:(j + 1) * p], B), keys[j])
                     for j in range(nkeys)]
             mult = jnp.where(ok, jnp.int32(nkeys * p), mult)
-        keys[0] = jnp.where(iota < m, keys[0], pad_key1)
-        keys[1:] = [jnp.where(iota < m, kk, 0) for kk in keys[1:]]
-        rank, _, done = _sort_rerank_n(tuple(keys), iota)
+        keys[0] = jnp.where(iota_m < m, keys[0], pad_key1)
+        keys[1:] = [jnp.where(iota_m < m, kk, 0) for kk in keys[1:]]
+        rank, _, done = _sort_rerank_n(tuple(keys), iota_m)
         # k invariant: rank entering a round always orders by < n tokens
         # (depth >= n makes all ranks distinct, so done exits first); cap
         # the multiplier where k*mult could wrap int32 (k*2 never can)
@@ -358,38 +372,40 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         return jnp.logical_and(~done, k < 2 * n)
 
     import os
-    r1_keys = int(os.environ.get("GECOZ_R1_KEYS", "3"))
+    if r1_keys is None:
+        # default 6: with p=4 packing (DNA-run token alphabets stay under
+        # ~215 groups) round 1 orders 24 tokens deep — past the ~21-token
+        # distinctness depth of 64 Mi genomic text (tools/probe_sa64.py),
+        # so the while_loop usually exits without running a second
+        # (3-op sort + rerank) round.  Wide sorts are safe here because
+        # round 1 runs OUTSIDE the while_loop (see packed_round).
+        r1_keys = int(os.environ.get("GECOZ_R1_KEYS", "6"))
     rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=r1_keys)
     rank, _, _ = jax.lax.while_loop(
         cond, body, (rank, k1, done1 | done0))
 
     # rank of the *next* run's start suffix, broadcast over each run
     nrank = shifted(rank, 1)
-    pos_bits = max(1, (n - 1).bit_length())
-    cb = 31 - pos_bits                       # value-chunk bits per pass
-    vbits = max(1, int(n).bit_length())      # values in [0, n]
-    chunks = -(-vbits // cb) if cb > 0 else 99
-    use_fill = (starts_full is not None and chunks <= 8
-                and nr_mode != "gather") or nr_mode == "fill"
+    if M < n:
+        # back to n-length for the position-space placed sort / gather
+        # (slots >= m are garbage either way; masked by is_start below)
+        nrank = jnp.concatenate([nrank, jnp.full((n - M,), -1, jnp.int32)])
+    use_fill = (starts_full is not None and nr_mode != "gather") \
+        or nr_mode == "fill"
     if use_fill:
         # TPU: random gathers cost ~30ms/4Mi while a 1-key sort is ~8ms
-        # and a cummax ~2ms (tools/probe_nr.py).  Placement sort lands
-        # nrank[j] at the j-th run start; the run-wide broadcast is an
-        # exact segmented forward fill: cummax over (start_pos << cb |
-        # value_chunk) — the prefix max is always the most recent start's
-        # pack because the monotone position occupies the high bits.
+        # and a streaming scan ~2ms (tools/probe_nr.py).  Placement sort
+        # lands nrank[j] at the j-th run start; the run-wide broadcast is
+        # ONE segmented forward fill (scan op "last": nearest marked
+        # value at or before each position wins).
         if starts_full is None:              # nr_mode == "fill" on CPU
             _, _, starts_full = jax.lax.sort(
                 ((~is_start).astype(jnp.int32), iota, iota), num_keys=2)
         placed = jax.lax.sort((starts_full, nrank), num_keys=1)[1]
-        val = placed + 1                     # [-1, n) -> [0, n]
-        nr = jnp.zeros((n,), jnp.int32)
-        for c in range(chunks):
-            chunk = (val >> (c * cb)) & ((1 << cb) - 1)
-            pack = jnp.where(is_start, (iota << cb) | chunk, -1)
-            fill = cummax_i32(pack)
-            nr = nr | ((fill & ((1 << cb) - 1)) << (c * cb))
-        nr = nr - 1
+        # placed in [-1, n); +1 keeps marked slots non-negative for the
+        # fill, -1 marks non-start slots as transparent
+        nr = fill_fwd_i32(jnp.where(is_start, placed + 1,
+                                    jnp.int32(-1))) - 1
     else:
         # one monotone gather by run id (the only gather in the algorithm)
         nr = nrank[run_id]
@@ -432,6 +448,36 @@ def dense_table(symbols) -> tuple[np.ndarray, int]:
     return table, bits
 
 
+# m_pad quantization ladder (fractions of n, /16): few program variants
+# per block length, and prewarm can guess the DNA-typical rungs (3/4 and
+# 13/16 — random/genomic DNA has ~0.74-0.76 runs per byte)
+M_PAD_LADDER = (8, 10, 12, 13, 14, 16)
+
+
+def m_pad_bucket(m: int, n: int) -> int:
+    """Round a run count UP to the quantization ladder (static m_pad)."""
+    for num in M_PAD_LADDER:
+        cand = (num * n) // 16
+        if m <= cand:
+            return cand
+    return n
+
+
+def runs_m_pad(s: np.ndarray) -> int:
+    """Static token-array size for `_suffix_array_runs_jit` (host side).
+
+    One vectorized pass counts the runs of `s`, then rounds UP the
+    quantization ladder so only a handful of program variants exist per
+    block length (DNA lands on the 3/4 or 13/16 rung).
+    """
+    s = np.asarray(s)
+    n = int(s.shape[0])
+    if n == 0:
+        return 0
+    m = int(np.count_nonzero(s[1:] != s[:-1])) + 1
+    return m_pad_bucket(m, n)
+
+
 def max_run_length(s: np.ndarray) -> int:
     """Longest equal-symbol run (host, vectorized)."""
     s = np.asarray(s)
@@ -462,7 +508,8 @@ def suffix_array_device(s, impl: str = "auto") -> jax.Array:
         syms = tuple(int(x) for x in np.unique(s))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        return _suffix_array_runs_jit(jnp.asarray(s), syms=syms)[0]
+        return _suffix_array_runs_jit(jnp.asarray(s), syms=syms,
+                                      m_pad=runs_m_pad(s))[0]
     table, bits = dense_table(np.unique(s))
     return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 

@@ -53,7 +53,8 @@ def _bucket_size(n: int) -> int:
 
 
 @functools.cache
-def _batched_sa(npad: int, syms: tuple[int, ...] | None):
+def _batched_sa(npad: int, syms: tuple[int, ...] | None,
+                m_pad: int | None = None):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -63,12 +64,13 @@ def _batched_sa(npad: int, syms: tuple[int, ...] | None):
     # ~log2(pad length) extra rounds on it (and on genomic N runs).
     # `syms` (the batch's static alphabet, when small) enables the packed
     # 1-key seed sort — one fewer n-wide operand in the seed round.
-    return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(s,
-                                                             syms=syms)[0]))
+    return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(
+        s, syms=syms, m_pad=m_pad)[0]))
 
 
 @functools.cache
-def _single_sa(npad: int, syms: tuple[int, ...] | None):
+def _single_sa(npad: int, syms: tuple[int, ...] | None,
+               m_pad: int | None = None):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -77,7 +79,8 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None):
     # kernel (minimal memory, and the Pallas streaming scans apply — they
     # fall back under vmap, which has no sound batching rule for the
     # sequential-carry kernel)
-    return jax.jit(lambda s: _suffix_array_runs_jit(s, syms=syms)[0])
+    return jax.jit(lambda s: _suffix_array_runs_jit(
+        s, syms=syms, m_pad=m_pad)[0])
 
 
 PREWARM_MIN_BYTES = 16 << 20
@@ -105,18 +108,21 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
     if syms is not None and len(syms) > 7:
         syms = None
 
-    def warm(npad: int) -> None:
+    def warm(npad: int, m_pad: int | None) -> None:
         try:
-            fn = _single_sa(npad, syms)
+            fn = _single_sa(npad, syms, m_pad)
             fn.lower(jax.ShapeDtypeStruct((npad,), jnp.uint8)).compile()
         except Exception:                    # noqa: BLE001 — warmup only
             pass
 
     threads = []
     for npad in buckets:
-        t = threading.Thread(target=warm, args=(npad,), daemon=True)
-        t.start()
-        threads.append(t)
+        # genomic data lands on the 3/4 or 13/16 m_pad rung — warm both
+        for m_pad in ((3 * npad) // 4, (13 * npad) // 16):
+            t = threading.Thread(target=warm, args=(npad, m_pad),
+                                 daemon=True)
+            t.start()
+            threads.append(t)
     return threads
 
 
@@ -156,11 +162,14 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
             np.bincount(batch.reshape(-1), minlength=256)))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
+        from gecoz_tpu.ops.sa_device import runs_m_pad
+        m_pad = max(runs_m_pad(batch[row]) for row in range(len(idxs)))
         if len(idxs) == 1:
-            sa_pad = np.asarray(_single_sa(npad, syms)(
+            sa_pad = np.asarray(_single_sa(npad, syms, m_pad)(
                 jnp.asarray(batch[0])))[None]
         else:
-            sa_pad = np.asarray(_batched_sa(npad, syms)(jnp.asarray(batch)))
+            sa_pad = np.asarray(_batched_sa(npad, syms, m_pad)(
+                jnp.asarray(batch)))
         for row, i in enumerate(idxs):
             n = len(blocks[i])
             sa = sa_pad[row]

@@ -127,6 +127,46 @@ def test_tpu_sort_paths_on_cpu(rng, monkeypatch):
         jax.clear_caches()
 
 
+def test_m_pad_static_token_bound(rng, monkeypatch):
+    """m_pad (static run-count bound) must not change results — on both
+    the scatter (CPU) and sort (TPU) compaction strategies, at tight and
+    loose bounds, including m_pad == exact run count."""
+    from gecoz_tpu.ops import sa_device
+    from gecoz_tpu.ops.sa_device import m_pad_bucket, runs_m_pad
+
+    s = np.concatenate([
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600),
+        np.full(400, ord("N"), np.uint8),
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600),
+        np.zeros(1, np.uint8)])
+    n = s.shape[0]
+    m = int(np.count_nonzero(s[1:] != s[:-1])) + 1
+    want = suffix_array_numpy(s)
+    syms = tuple(int(x) for x in np.unique(s))
+    for force_sorts in (False, True):
+        if force_sorts:
+            monkeypatch.setattr(sa_device, "_scatter_is_cheap",
+                                lambda: False)
+            jax.clear_caches()
+        try:
+            for mp in (m, runs_m_pad(s), n - 1, n):
+                sa, bwt = sa_device._suffix_array_runs_jit(
+                    jnp.asarray(s), syms=syms, m_pad=mp)
+                assert np.array_equal(np.asarray(sa), want), \
+                    (force_sorts, mp)
+                from gecoz_tpu.ops.sa import bwt_from_sa
+                assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+        finally:
+            if force_sorts:
+                jax.clear_caches()
+    # bucket helper: ladder rounding, upper clamp
+    assert m_pad_bucket(1, 160) == 80
+    assert m_pad_bucket(120, 160) == 120        # 3/4 rung
+    assert m_pad_bucket(121, 160) == 130        # 13/16 rung
+    assert m_pad_bucket(159, 160) == 160
+    assert runs_m_pad(np.zeros(0, np.uint8)) == 0
+
+
 def test_max_run_length():
     assert max_run_length(np.frombuffer(b"AACCCA", np.uint8)) == 3
     assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
