@@ -789,25 +789,11 @@ def _row_with_sa(block: DeviceFMBlock, value):
 def decode_text_device(fm) -> np.ndarray:
     """Host entry: lift an FMIndex to device, decode, return numpy text.
 
-    On TPU, blocks whose packed LF table fits VMEM decode through the
-    fused Pallas LF-walk kernel (ops/lfwalk_pallas.py — all steps in one
-    kernel, walk state on-chip); anything else (or any kernel failure)
-    uses the XLA fused-LF^k path.  GECOZ_NO_PALLAS=1 disables the kernel.
+    Decode is the XLA fused-LF^k path everywhere.  A fused Pallas LF-walk
+    kernel was built and deleted in round 4: Mosaic cannot express the 1D
+    walk gather ("Only 2D gather is supported", tools/probe_pallas.py,
+    re-verified on v5e), so the kernel could never run on-chip and a
+    permanent fallback path is worse than none.
     """
-    import logging
-    import os
     block = jax.jit(with_lf_table)(device_block_from_fm(fm))
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("GECOZ_NO_PALLAS")):
-        from gecoz_tpu.ops import lfwalk_pallas
-        if lfwalk_pallas.fits_vmem(block):
-            try:
-                return np.asarray(
-                    lfwalk_pallas.decode_text_pallas_jit(block))
-            except Exception as ex:    # noqa: BLE001 — Mosaic/VMEM limits
-                # fall through to the XLA path, but LOUDLY: a silent
-                # always-fallback is indistinguishable from a win
-                logging.getLogger("gecoz").warning(
-                    "Pallas LF-walk kernel fell back (%s: %s); "
-                    "XLA fused-LF^k decode", type(ex).__name__, ex)
     return np.asarray(decode_text_jit(block))

@@ -170,19 +170,6 @@ def test_kmer_table_tiny_block(rng):
         assert (int(sp[i]), int(ep[i])) == (hsp, hep), p
 
 
-def test_decode_pallas_kernel_interpret(rng):
-    """The fused Pallas LF-walk kernel (interpret mode off-TPU) matches
-    the text byte-for-byte, full walks + ragged tail."""
-    from gecoz_tpu.ops.lfwalk_pallas import decode_text_pallas_jit, fits_vmem
-    for n, nseq in [(5000, 2), (4096, 1), (137, 1)]:
-        data, _, fm, _ = make_pair(rng, nseq=nseq, rate=32,
-                                   minlen=n, maxlen=n + 2)
-        blk = fmq.with_lf_table(fmq.device_block_from_fm(fm))
-        assert fits_vmem(blk)
-        got = np.asarray(decode_text_pallas_jit(blk, interpret=True))
-        assert np.array_equal(got, np.asarray(fm.decode_text()))
-
-
 def test_pallas_scan_kernels_interpret(rng, monkeypatch):
     """Streaming-scan kernels (interpret mode off-TPU) match numpy."""
     import jax.experimental.pallas as pl
