@@ -110,13 +110,21 @@ def main() -> None:
     rtt = timeit(null, d, repeat=5)
     print(f"# rtt floor: {rtt*1e3:.1f} ms", file=sys.stderr)
 
-    from gecoz_tpu.ops.sa_device import runs_m_pad
-    mp = runs_m_pad(data)
+    from gecoz_tpu.ops.pipeline import DNA_SYMBOLS
+    from gecoz_tpu.ops.sa_device import runs_m_pad, runs_token_table
 
-    def _index_ck_fn(mp_static):
-        return jax.jit(lambda x: _checksum(index_block(x, m_pad=mp_static)))
+    def _index_ck_fn(arr):
+        # host-precomputed accelerators: static run-count bound + traced
+        # run-key table (one compiled program per (n, m_pad) — the table
+        # is a runtime operand, so it does NOT fragment the compile cache)
+        mp = runs_m_pad(arr)
+        tab = runs_token_table(arr, DNA_SYMBOLS)
+        fn = jax.jit(lambda x, t: _checksum(index_block(
+            x, m_pad=mp, tok_table=t)))
+        tdev = None if tab is None else jnp.asarray(tab)
+        return lambda x: fn(x, tdev)
 
-    index_ck = _index_ck_fn(mp)
+    index_ck = _index_ck_fn(data)
     t0 = time.perf_counter()
     int(np.asarray(index_ck(d)))
     print(f"# index compile+run: {time.perf_counter() - t0:.1f}s",
@@ -185,7 +193,7 @@ def main() -> None:
     if platform != "cpu-fallback" and ln > n:
         ldata = synth_dna(ln, seed=11)
         ld = jax.device_put(jnp.asarray(ldata), dev)
-        lindex_ck = _index_ck_fn(runs_m_pad(ldata))
+        lindex_ck = _index_ck_fn(ldata)
         t0 = time.perf_counter()
         int(np.asarray(lindex_ck(ld)))
         print(f"# large index compile+run: {time.perf_counter() - t0:.1f}s",

@@ -31,21 +31,24 @@ DNA_SYMBOLS = (0, 65, 67, 71, 78, 84)  # \0 A C G N T
 def index_block(s: jax.Array, sf: int = 5,
                 symbols: tuple[int, ...] = DNA_SYMBOLS,
                 sa_impl: str = "runs",
-                m_pad: int | None = None) -> DeviceFMBlock:
+                m_pad: int | None = None,
+                tok_table: jax.Array | None = None) -> DeviceFMBlock:
     """Raw block bytes -> device FM query state (SA -> BWT -> planes).
 
     sa_impl 'runs' (default) is robust to the long equal-symbol runs of
     real genomes; 'kmer' is the dense-packed doubling variant (a round or
-    two faster on run-free text).  `m_pad`: static run-count bound from
-    `sa_device.runs_m_pad` when the caller holds the host bytes — shrinks
-    the token-doubling sorts to ~0.75n for DNA.
+    two faster on run-free text).  `m_pad` (static run-count bound,
+    `sa_device.runs_m_pad`) and `tok_table` (traced run-key table,
+    `sa_device.runs_token_table`) are host-precomputed accelerators for
+    the runs kernel — ~0.75n doubling sorts and sort-free compaction.
     """
     if sa_impl == "runs":
         # the run-aware sort emits the BWT as a free value operand of its
         # final sort (saves an n-wide gather); the static alphabet enables
         # the packed 1-key seed sort
         sa, bwt = _suffix_array_runs_jit(
-            s, syms=symbols if len(symbols) <= 7 else None, m_pad=m_pad)
+            s, syms=symbols if len(symbols) <= 7 else None, m_pad=m_pad,
+            tok_table=tok_table)
     else:
         table, bits = dense_table(symbols)
         sa = _suffix_array_jit(s, jnp.asarray(table), bits=bits)

@@ -156,12 +156,16 @@ def _suffix_array_jit(s: jax.Array, dense: jax.Array | None = None,
     return order.astype(jnp.int32)
 
 
+TOK_TABLE_SIZE = 128    # fixed table shape: one program for all tables
+
+
 @functools.partial(jax.jit, static_argnames=("nr_mode", "syms", "r1_keys",
                                              "m_pad"))
 def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
                            syms: tuple[int, ...] | None = None,
                            r1_keys: int | None = None,
-                           m_pad: int | None = None):
+                           m_pad: int | None = None,
+                           tok_table: jax.Array | None = None):
     # `syms`: static alphabet covering EVERY byte of `s` (bytes outside it
     # would alias a neighbor's dense code).  When given and small enough,
     # the whole run key packs into one int31 word -> 1-key seed sort.
@@ -200,6 +204,13 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     then runs on arrays of that length instead of n (~0.75n for DNA), so
     every doubling-phase sort sheds ~25% of its elements.  None keeps the
     n-sized behavior (required when `s` is a tracer the host never saw).
+
+    ``tok_table``: int32[TOK_TABLE_SIZE], the sorted distinct run keys
+    present at run starts, padded with INT32_MAX (caller contract —
+    `runs_token_table`; MUST cover every start or dense token values
+    silently collide).  Replaces the two 3-operand compaction sorts with
+    TOK_TABLE_SIZE fused compares + one 2-operand sort.  TRACED, not
+    static: one compiled program serves every block's table.
     """
     n = s.shape[0]
     if n >= 1 << 30:
@@ -271,6 +282,27 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         pad = (iota >= m).astype(jnp.int32)
         tok, _, _ = _sort_rerank(pad, tok, iota)
         tok = tok[:M]
+    elif pack_seed and tok_table is not None:
+        # HOST-TABLED densify + one-sort compaction.  The distinct run
+        # keys present at run starts number only a few dozen on genomic
+        # text (73 on the 64 MiB bench block), and the caller measured
+        # them (runs_token_table): dense token values come from a
+        # compare-sum against the sorted table (TOK_TABLE_SIZE compares,
+        # fused by XLA into ONE elementwise pass — INT32_MAX padding
+        # contributes 0 since rank0 < INT32_MAX), and the compaction
+        # collapses to a single 2-operand 1-key sort — replacing the
+        # value sort + rerank scan + position sort below (two n-wide
+        # 3-operand sorts).  The sorted keys are the positions
+        # themselves, so the sort's key output doubles as `starts_full`
+        # (starts ascending, then non-starts ascending — a full position
+        # permutation for the placed sort below).
+        dense0 = jnp.zeros((n,), jnp.int32)
+        for i in range(TOK_TABLE_SIZE):
+            dense0 = dense0 + (rank0 >= tok_table[i]).astype(jnp.int32)
+        ckey = jnp.where(is_start, iota, (1 << 30) + iota)
+        skeys, tok_n = jax.lax.sort((ckey, dense0), num_keys=1)
+        starts_full = skeys & ((1 << 30) - 1)
+        tok = tok_n[:M]            # pad slots carry junk; masked by m
     else:
         # Fused compaction + densify in two sorts (vs one compaction sort
         # + a separate two-sort rerank):
@@ -448,6 +480,78 @@ def dense_table(symbols) -> tuple[np.ndarray, int]:
     return table, bits
 
 
+def runs_token_table(s: np.ndarray, syms: tuple[int, ...] | None,
+                     max_entries: int | None = None,
+                     _chunk: int = 4 << 20) -> np.ndarray | None:
+    """int32[TOK_TABLE_SIZE] of sorted distinct run keys at run starts,
+    INT32_MAX-padded (host side), or None.
+
+    Replicates the device's packed seed-key formula exactly
+    (`_suffix_array_runs_jit` pack_seed branch): codes are the
+    compare-sum dense alphabet, eb = bit_length(n), key =
+    (c << (1+eb)) | (above << eb) | (below ? ell : 2^eb - ell).
+    Returns None when the packed seed won't engage (alphabet too wide)
+    or the table would exceed TOK_TABLE_SIZE (genomic text measures a
+    few dozen; pathological inputs fall back to the sort compaction).
+
+    Works in bounded chunks so the fresh-page footprint stays small on
+    cold-allocator hosts; runs crossing chunk borders are merged.
+    """
+    if max_entries is None:
+        max_entries = TOK_TABLE_SIZE
+    s = np.asarray(s, dtype=np.uint8)
+    n = int(s.shape[0])
+    if n == 0 or not syms:
+        return None
+    sym_bits = max(len(syms), 1).bit_length()
+    eb = int(n).bit_length()
+    if sym_bits + 1 + eb > 31:
+        return None                    # pack_seed can't trigger
+    keys: set[int] = set()
+    chunk = _chunk
+    carry_c = carry_len = None         # open run at the chunk border
+    pos = 0
+    while pos < n:
+        part = s[pos:pos + chunk]
+        codes = np.zeros(part.shape[0], np.int64)
+        for sym in syms:
+            codes += part >= np.uint8(sym)
+        bounds = np.flatnonzero(codes[1:] != codes[:-1])
+        starts = np.concatenate([[0], bounds + 1])
+        ends = np.concatenate([bounds, [part.shape[0] - 1]])
+        c = codes[starts]
+        ell = (ends - starts + 1).astype(np.int64)
+        if carry_c is not None:
+            if c[0] == carry_c:
+                ell[0] += carry_len
+            else:
+                # carried run closed at the border: next symbol is c[0]
+                below = c[0] < carry_c
+                keys.add(int((carry_c << (1 + eb))
+                             | ((not below) << eb)
+                             | (carry_len if below
+                                else (1 << eb) - carry_len)))
+        # last run stays open (its 'below' side needs the next chunk)
+        carry_c, carry_len = int(c[-1]), int(ell[-1])
+        if c.shape[0] > 1:
+            nxtc = c[1:]
+            cc, ll = c[:-1], ell[:-1]
+            below = nxtc < cc
+            k = ((cc << (1 + eb)) | ((~below).astype(np.int64) << eb)
+                 | np.where(below, ll, (1 << eb) - ll))
+            keys.update(int(x) for x in np.unique(k))
+            if len(keys) > max_entries:
+                return None
+        pos += chunk
+    # final open run: end-of-text counts as below
+    keys.add(int((carry_c << (1 + eb)) | carry_len))
+    if len(keys) > max_entries:
+        return None
+    out = np.full(TOK_TABLE_SIZE, (1 << 31) - 1, np.int32)
+    out[:len(keys)] = sorted(keys)
+    return out
+
+
 # m_pad quantization ladder (fractions of n, /16): few program variants
 # per block length, and prewarm can guess the DNA-typical rungs (3/4 and
 # 13/16 — random/genomic DNA has ~0.74-0.76 runs per byte)
@@ -508,8 +612,10 @@ def suffix_array_device(s, impl: str = "auto") -> jax.Array:
         syms = tuple(int(x) for x in np.unique(s))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        return _suffix_array_runs_jit(jnp.asarray(s), syms=syms,
-                                      m_pad=runs_m_pad(s))[0]
+        tab = runs_token_table(s, syms)
+        return _suffix_array_runs_jit(
+            jnp.asarray(s), syms=syms, m_pad=runs_m_pad(s),
+            tok_table=None if tab is None else jnp.asarray(tab))[0]
     table, bits = dense_table(np.unique(s))
     return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 

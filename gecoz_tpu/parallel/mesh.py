@@ -54,7 +54,7 @@ def _bucket_size(n: int) -> int:
 
 @functools.cache
 def _batched_sa(npad: int, syms: tuple[int, ...] | None,
-                m_pad: int | None = None):
+                m_pad: int | None = None, use_table: bool = False):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -64,13 +64,20 @@ def _batched_sa(npad: int, syms: tuple[int, ...] | None,
     # ~log2(pad length) extra rounds on it (and on genomic N runs).
     # `syms` (the batch's static alphabet, when small) enables the packed
     # 1-key seed sort — one fewer n-wide operand in the seed round.
+    # With use_table, callers pass the (shared) run-key table as a traced
+    # second argument — sort-free compaction, one program for all tables.
+    if use_table:
+        return jax.jit(jax.vmap(
+            lambda s, t: _suffix_array_runs_jit(
+                s, syms=syms, m_pad=m_pad, tok_table=t)[0],
+            in_axes=(0, None)))
     return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(
         s, syms=syms, m_pad=m_pad)[0]))
 
 
 @functools.cache
 def _single_sa(npad: int, syms: tuple[int, ...] | None,
-               m_pad: int | None = None):
+               m_pad: int | None = None, use_table: bool = False):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -79,6 +86,9 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None,
     # kernel (minimal memory, and the Pallas streaming scans apply — they
     # fall back under vmap, which has no sound batching rule for the
     # sequential-carry kernel)
+    if use_table:
+        return jax.jit(lambda s, t: _suffix_array_runs_jit(
+            s, syms=syms, m_pad=m_pad, tok_table=t)[0])
     return jax.jit(lambda s: _suffix_array_runs_jit(
         s, syms=syms, m_pad=m_pad)[0])
 
@@ -110,8 +120,12 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
 
     def warm(npad: int, m_pad: int | None) -> None:
         try:
-            fn = _single_sa(npad, syms, m_pad)
-            fn.lower(jax.ShapeDtypeStruct((npad,), jnp.uint8)).compile()
+            from gecoz_tpu.ops.sa_device import TOK_TABLE_SIZE
+            fn = _single_sa(npad, syms, m_pad, True)
+            fn.lower(
+                jax.ShapeDtypeStruct((npad,), jnp.uint8),
+                jax.ShapeDtypeStruct((TOK_TABLE_SIZE,), jnp.int32),
+            ).compile()
         except Exception:                    # noqa: BLE001 — warmup only
             pass
 
@@ -162,14 +176,30 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
             np.bincount(batch.reshape(-1), minlength=256)))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        from gecoz_tpu.ops.sa_device import runs_m_pad
+        from gecoz_tpu.ops.sa_device import (TOK_TABLE_SIZE, runs_m_pad,
+                                             runs_token_table)
         m_pad = max(runs_m_pad(batch[row]) for row in range(len(idxs)))
+        # shared run-key table = union over rows (a superset is safe:
+        # dense values shift but stay order-isomorphic per row)
+        tabs = [runs_token_table(batch[row], syms)
+                for row in range(len(idxs))]
+        tab = None
+        if all(t is not None for t in tabs):
+            union = sorted({int(v) for t in tabs
+                            for v in t if v != (1 << 31) - 1})
+            if len(union) <= TOK_TABLE_SIZE:
+                tab = np.full(TOK_TABLE_SIZE, (1 << 31) - 1, np.int32)
+                tab[:len(union)] = union
         if len(idxs) == 1:
-            sa_pad = np.asarray(_single_sa(npad, syms, m_pad)(
-                jnp.asarray(batch[0])))[None]
+            fn = _single_sa(npad, syms, m_pad, tab is not None)
+            args = (jnp.asarray(batch[0]),) if tab is None else \
+                (jnp.asarray(batch[0]), jnp.asarray(tab))
+            sa_pad = np.asarray(fn(*args))[None]
         else:
-            sa_pad = np.asarray(_batched_sa(npad, syms, m_pad)(
-                jnp.asarray(batch)))
+            fn = _batched_sa(npad, syms, m_pad, tab is not None)
+            args = (jnp.asarray(batch),) if tab is None else \
+                (jnp.asarray(batch), jnp.asarray(tab))
+            sa_pad = np.asarray(fn(*args))
         for row, i in enumerate(idxs):
             n = len(blocks[i])
             sa = sa_pad[row]

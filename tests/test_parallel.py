@@ -81,24 +81,36 @@ def test_prewarm_buckets_compiles_future_buckets(monkeypatch):
     calls = []
 
     class _FakeJit:
-        def __init__(self, npad):
+        def __init__(self, npad, m_pad, use_table):
             self.npad = npad
+            self.m_pad = m_pad
+            self.use_table = use_table
 
-        def lower(self, shape):
-            calls.append((self.npad, shape.shape))
+        def lower(self, shape, *extra):
+            calls.append((self.npad, self.m_pad, self.use_table,
+                          shape.shape, tuple(e.shape for e in extra)))
             return self
 
         def compile(self):
             return None
 
-    monkeypatch.setattr(mesh, "_single_sa",
-                        lambda npad, syms: _FakeJit(npad))
+    monkeypatch.setattr(
+        mesh, "_single_sa",
+        lambda npad, syms, m_pad=None, use_table=False:
+        _FakeJit(npad, m_pad, use_table))
     small = 1 << 20
     big1, big2 = 20 << 20, 70 << 20
     threads = mesh.prewarm_buckets([small, big1, big2, big1],
                                    (0, 65, 67, 71, 84))
     for t in threads:
         t.join(10)
-    want = sorted({mesh._bucket_size(big1), mesh._bucket_size(big2)})
-    assert sorted(c[0] for c in calls) == want
-    assert all(shape == (npad,) for npad, shape in calls)
+    # each large distinct bucket warms both DNA-typical m_pad rungs, in
+    # the tok_table variant (the production-common program)
+    want = sorted(
+        (b, mp) for b in {mesh._bucket_size(big1), mesh._bucket_size(big2)}
+        for mp in ((3 * b) // 4, (13 * b) // 16))
+    assert sorted((c[0], c[1]) for c in calls) == want
+    from gecoz_tpu.ops.sa_device import TOK_TABLE_SIZE
+    for npad, m_pad, use_table, shape, extra in calls:
+        assert use_table and shape == (npad,)
+        assert extra == ((TOK_TABLE_SIZE,),)

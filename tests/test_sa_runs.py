@@ -167,6 +167,80 @@ def test_m_pad_static_token_bound(rng, monkeypatch):
     assert runs_m_pad(np.zeros(0, np.uint8)) == 0
 
 
+def _naive_start_keys(s, syms):
+    """Oracle for runs_token_table: per-start packed run keys, direct."""
+    n = s.shape[0]
+    eb = int(n).bit_length()
+    codes = np.zeros(n, np.int64)
+    for sym in syms:
+        codes += s >= np.uint8(sym)
+    keys = set()
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and codes[j + 1] == codes[i]:
+            j += 1
+        below = (j + 1 >= n) or (codes[j + 1] < codes[i])
+        ell = j - i + 1
+        keys.add(int((codes[i] << (1 + eb)) | ((not below) << eb)
+                     | (ell if below else (1 << eb) - ell)))
+        i = j + 1
+    return keys
+
+
+def test_runs_token_table_matches_naive(rng):
+    """The chunked host table builder must produce exactly the distinct
+    run keys at run starts — including runs crossing chunk borders."""
+    from gecoz_tpu.ops.sa_device import TOK_TABLE_SIZE, runs_token_table
+    for trial in range(8):
+        parts = [rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                            size=int(rng.integers(50, 300)))]
+        # runs positioned to straddle the tiny chunk size below
+        parts.append(np.full(int(rng.integers(100, 400)), ord("N"),
+                             np.uint8))
+        parts.append(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                size=int(rng.integers(50, 300))))
+        parts.append(np.zeros(1, np.uint8))
+        s = np.concatenate(parts)
+        syms = tuple(int(x) for x in np.unique(s))
+        tab = runs_token_table(s, syms, _chunk=64)
+        want = _naive_start_keys(s, syms)
+        assert tab is not None
+        got = {int(v) for v in tab if v != (1 << 31) - 1}
+        assert got == want, trial
+        assert tab.shape == (TOK_TABLE_SIZE,)
+        assert np.all(np.diff(tab.astype(np.int64)) >= 0)   # sorted
+
+
+def test_tok_table_compaction_path(rng, monkeypatch):
+    """The host-tabled compaction (compare-sum densify + one-sort) must
+    be bit-exact with the sort compaction and the scatter path."""
+    from gecoz_tpu.ops import sa_device
+    from gecoz_tpu.ops.sa_device import runs_token_table
+
+    s = np.concatenate([
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=500),
+        np.full(700, ord("N"), np.uint8),
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=500),
+        np.zeros(1, np.uint8)])
+    want = suffix_array_numpy(s)
+    syms = tuple(int(x) for x in np.unique(s))
+    tab = runs_token_table(s, syms)
+    assert tab is not None
+    monkeypatch.setattr(sa_device, "_scatter_is_cheap", lambda: False)
+    jax.clear_caches()
+    try:
+        for mp in (None, sa_device.runs_m_pad(s)):
+            sa, bwt = sa_device._suffix_array_runs_jit(
+                jnp.asarray(s), syms=syms, m_pad=mp,
+                tok_table=jnp.asarray(tab))
+            assert np.array_equal(np.asarray(sa), want), mp
+            from gecoz_tpu.ops.sa import bwt_from_sa
+            assert np.array_equal(np.asarray(bwt), bwt_from_sa(s, want))
+    finally:
+        jax.clear_caches()
+
+
 def test_max_run_length():
     assert max_run_length(np.frombuffer(b"AACCCA", np.uint8)) == 3
     assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
