@@ -111,16 +111,19 @@ def main() -> None:
     print(f"# rtt floor: {rtt*1e3:.1f} ms", file=sys.stderr)
 
     from gecoz_tpu.ops.pipeline import DNA_SYMBOLS
-    from gecoz_tpu.ops.sa_device import runs_m_pad, runs_token_table
+    from gecoz_tpu.ops.sa_device import (runs_ell_bits, runs_m_pad,
+                                         runs_token_table)
 
     def _index_ck_fn(arr):
-        # host-precomputed accelerators: static run-count bound + traced
-        # run-key table (one compiled program per (n, m_pad) — the table
-        # is a runtime operand, so it does NOT fragment the compile cache)
+        # host-precomputed accelerators: static run-count/run-length
+        # bounds + traced run-key table (one compiled program per
+        # (n, m_pad, ell_bits) — the table is a runtime operand, so it
+        # does NOT fragment the compile cache)
         mp = runs_m_pad(arr)
-        tab = runs_token_table(arr, DNA_SYMBOLS)
+        ebs = runs_ell_bits(arr)
+        tab = runs_token_table(arr, DNA_SYMBOLS, ell_bits=ebs)
         fn = jax.jit(lambda x, t: _checksum(index_block(
-            x, m_pad=mp, tok_table=t)))
+            x, m_pad=mp, tok_table=t, ell_bits=ebs)))
         tdev = None if tab is None else jnp.asarray(tab)
         return lambda x: fn(x, tdev)
 

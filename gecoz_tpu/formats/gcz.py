@@ -125,8 +125,11 @@ def _encode_on_device(data: np.ndarray, shape: HSWTShape):
             sa = np.asarray(sa_sh).astype(np.int64)
             bwt = np.asarray(bwt_sh)
         else:
+            # pass the HOST array: suffix_array_device precomputes the
+            # run-count/run-length bounds + run-key table from it (one
+            # cheap host pass each) before the device dispatch
+            sa_dev = suffix_array_device(data)
             d = jnp.asarray(data)
-            sa_dev = suffix_array_device(d)
             bwt = np.asarray(bwt_device(d, sa_dev))
             sa = np.asarray(sa_dev).astype(np.int64)
         hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))

@@ -27,12 +27,13 @@ DNA_SYMBOLS = (0, 65, 67, 71, 78, 84)  # \0 A C G N T
 
 
 @functools.partial(jax.jit, static_argnames=("sf", "symbols", "sa_impl",
-                                             "m_pad"))
+                                             "m_pad", "ell_bits"))
 def index_block(s: jax.Array, sf: int = 5,
                 symbols: tuple[int, ...] = DNA_SYMBOLS,
                 sa_impl: str = "runs",
                 m_pad: int | None = None,
-                tok_table: jax.Array | None = None) -> DeviceFMBlock:
+                tok_table: jax.Array | None = None,
+                ell_bits: int | None = None) -> DeviceFMBlock:
     """Raw block bytes -> device FM query state (SA -> BWT -> planes).
 
     sa_impl 'runs' (default) is robust to the long equal-symbol runs of
@@ -48,7 +49,7 @@ def index_block(s: jax.Array, sf: int = 5,
         # the packed 1-key seed sort
         sa, bwt = _suffix_array_runs_jit(
             s, syms=symbols if len(symbols) <= 7 else None, m_pad=m_pad,
-            tok_table=tok_table)
+            tok_table=tok_table, ell_bits=ell_bits)
     else:
         table, bits = dense_table(symbols)
         sa = _suffix_array_jit(s, jnp.asarray(table), bits=bits)

@@ -160,12 +160,13 @@ TOK_TABLE_SIZE = 128    # fixed table shape: one program for all tables
 
 
 @functools.partial(jax.jit, static_argnames=("nr_mode", "syms", "r1_keys",
-                                             "m_pad"))
+                                             "m_pad", "ell_bits"))
 def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
                            syms: tuple[int, ...] | None = None,
                            r1_keys: int | None = None,
                            m_pad: int | None = None,
-                           tok_table: jax.Array | None = None):
+                           tok_table: jax.Array | None = None,
+                           ell_bits: int | None = None):
     # `syms`: static alphabet covering EVERY byte of `s` (bytes outside it
     # would alias a neighbor's dense code).  When given and small enough,
     # the whole run key packs into one int31 word -> 1-key seed sort.
@@ -211,6 +212,12 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     silently collide).  Replaces the two 3-operand compaction sorts with
     TOK_TABLE_SIZE fused compares + one 2-operand sort.  TRACED, not
     static: one compiled program serves every block's table.
+
+    ``ell_bits``: static bound with 2^ell_bits > the longest equal-symbol
+    run (caller contract — `runs_ell_bits`); shrinks the run-length field
+    of the packed seed key so pack_seed (and with it tok_table) engages
+    on blocks past 2^27 bytes.  The helper and this kernel must agree on
+    the value or the key formulas diverge.
     """
     n = s.shape[0]
     if n >= 1 << 30:
@@ -219,7 +226,13 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     M = n if m_pad is None else max(1, min(int(m_pad), n))
     iota = jnp.arange(n, dtype=jnp.int32)
     iota_m = iota if M == n else jnp.arange(M, dtype=jnp.int32)
-    eb = int(n).bit_length()                   # ell fits eb bits (ell <= n)
+    # eb: bits reserved for the run length in the packed seed key.  The
+    # default bit_length(n) always fits but costs pack_seed above 2^27
+    # (sym_bits + 1 + eb > 31); a host-measured static bound
+    # (`ell_bits` >= bit_length(max run), see `runs_ell_bits`) keeps the
+    # 1-key packed seed + tok_table compaction alive at chr1 scale.
+    eb = int(n).bit_length() if ell_bits is None \
+        else min(int(ell_bits), int(n).bit_length())
     sym_bits = max(len(syms), 1).bit_length() if syms else 0
     pack_seed = bool(syms) and sym_bits + 1 + eb <= 31
     if pack_seed:
@@ -480,8 +493,27 @@ def dense_table(symbols) -> tuple[np.ndarray, int]:
     return table, bits
 
 
+# ell_bits quantization ladder: few program variants, covers everything
+# from clean reads (<=4 Ki runs) to chr1 centromere gaps (~2^25)
+ELL_BITS_LADDER = (12, 16, 20, 25, 27)
+
+
+def runs_ell_bits(s: np.ndarray) -> int | None:
+    """Static run-length bit bound for `_suffix_array_runs_jit`
+    (host side): the smallest ladder rung covering the longest run, or
+    None when no rung does (then the kernel's bit_length(n) default —
+    and its pack_seed gate — apply unchanged)."""
+    mx = max_run_length(s)
+    bits = max(1, int(mx).bit_length())
+    for rung in ELL_BITS_LADDER:
+        if bits <= rung:
+            return rung
+    return None
+
+
 def runs_token_table(s: np.ndarray, syms: tuple[int, ...] | None,
                      max_entries: int | None = None,
+                     ell_bits: int | None = None,
                      _chunk: int = 4 << 20) -> np.ndarray | None:
     """int32[TOK_TABLE_SIZE] of sorted distinct run keys at run starts,
     INT32_MAX-padded (host side), or None.
@@ -504,7 +536,8 @@ def runs_token_table(s: np.ndarray, syms: tuple[int, ...] | None,
     if n == 0 or not syms:
         return None
     sym_bits = max(len(syms), 1).bit_length()
-    eb = int(n).bit_length()
+    eb = int(n).bit_length() if ell_bits is None \
+        else min(int(ell_bits), int(n).bit_length())
     if sym_bits + 1 + eb > 31:
         return None                    # pack_seed can't trigger
     keys: set[int] = set()
@@ -612,10 +645,12 @@ def suffix_array_device(s, impl: str = "auto") -> jax.Array:
         syms = tuple(int(x) for x in np.unique(s))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        tab = runs_token_table(s, syms)
+        ebs = runs_ell_bits(s)
+        tab = runs_token_table(s, syms, ell_bits=ebs)
         return _suffix_array_runs_jit(
             jnp.asarray(s), syms=syms, m_pad=runs_m_pad(s),
-            tok_table=None if tab is None else jnp.asarray(tab))[0]
+            tok_table=None if tab is None else jnp.asarray(tab),
+            ell_bits=ebs)[0]
     table, bits = dense_table(np.unique(s))
     return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
 

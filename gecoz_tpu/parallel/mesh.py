@@ -54,7 +54,8 @@ def _bucket_size(n: int) -> int:
 
 @functools.cache
 def _batched_sa(npad: int, syms: tuple[int, ...] | None,
-                m_pad: int | None = None, use_table: bool = False):
+                m_pad: int | None = None, use_table: bool = False,
+                ell_bits: int | None = None):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -69,15 +70,17 @@ def _batched_sa(npad: int, syms: tuple[int, ...] | None,
     if use_table:
         return jax.jit(jax.vmap(
             lambda s, t: _suffix_array_runs_jit(
-                s, syms=syms, m_pad=m_pad, tok_table=t)[0],
+                s, syms=syms, m_pad=m_pad, tok_table=t,
+                ell_bits=ell_bits)[0],
             in_axes=(0, None)))
     return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(
-        s, syms=syms, m_pad=m_pad)[0]))
+        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits)[0]))
 
 
 @functools.cache
 def _single_sa(npad: int, syms: tuple[int, ...] | None,
-               m_pad: int | None = None, use_table: bool = False):
+               m_pad: int | None = None, use_table: bool = False,
+               ell_bits: int | None = None):
     import jax
 
     from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
@@ -88,9 +91,9 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None,
     # sequential-carry kernel)
     if use_table:
         return jax.jit(lambda s, t: _suffix_array_runs_jit(
-            s, syms=syms, m_pad=m_pad, tok_table=t)[0])
+            s, syms=syms, m_pad=m_pad, tok_table=t, ell_bits=ell_bits)[0])
     return jax.jit(lambda s: _suffix_array_runs_jit(
-        s, syms=syms, m_pad=m_pad)[0])
+        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits)[0])
 
 
 PREWARM_MIN_BYTES = 16 << 20
@@ -120,8 +123,14 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
 
     def warm(npad: int, m_pad: int | None) -> None:
         try:
-            from gecoz_tpu.ops.sa_device import TOK_TABLE_SIZE
-            fn = _single_sa(npad, syms, m_pad, True)
+            from gecoz_tpu.ops.sa_device import (ELL_BITS_LADDER,
+                                                 TOK_TABLE_SIZE)
+            # ell_bits guess: genomic N runs cluster around 1% of the
+            # block (telomere/centromere gaps) — warm the rung covering
+            # that; a block landing on another rung just misses warmup
+            gb = max(1, (npad // 100).bit_length())
+            ebs = next((r for r in ELL_BITS_LADDER if gb <= r), None)
+            fn = _single_sa(npad, syms, m_pad, True, ebs)
             fn.lower(
                 jax.ShapeDtypeStruct((npad,), jnp.uint8),
                 jax.ShapeDtypeStruct((TOK_TABLE_SIZE,), jnp.int32),
@@ -176,12 +185,18 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
             np.bincount(batch.reshape(-1), minlength=256)))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        from gecoz_tpu.ops.sa_device import (TOK_TABLE_SIZE, runs_m_pad,
+        from gecoz_tpu.ops.sa_device import (ELL_BITS_LADDER,
+                                             TOK_TABLE_SIZE, runs_m_pad,
                                              runs_token_table)
+        from gecoz_tpu.ops.sa_device import max_run_length
         m_pad = max(runs_m_pad(batch[row]) for row in range(len(idxs)))
+        # shared static run-length bound (the zero pad run counts)
+        mx_bits = max(1, int(max(max_run_length(batch[row])
+                                 for row in range(len(idxs)))).bit_length())
+        ell_bits = next((r for r in ELL_BITS_LADDER if mx_bits <= r), None)
         # shared run-key table = union over rows (a superset is safe:
         # dense values shift but stay order-isomorphic per row)
-        tabs = [runs_token_table(batch[row], syms)
+        tabs = [runs_token_table(batch[row], syms, ell_bits=ell_bits)
                 for row in range(len(idxs))]
         tab = None
         if all(t is not None for t in tabs):
@@ -191,12 +206,12 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
                 tab = np.full(TOK_TABLE_SIZE, (1 << 31) - 1, np.int32)
                 tab[:len(union)] = union
         if len(idxs) == 1:
-            fn = _single_sa(npad, syms, m_pad, tab is not None)
+            fn = _single_sa(npad, syms, m_pad, tab is not None, ell_bits)
             args = (jnp.asarray(batch[0]),) if tab is None else \
                 (jnp.asarray(batch[0]), jnp.asarray(tab))
             sa_pad = np.asarray(fn(*args))[None]
         else:
-            fn = _batched_sa(npad, syms, m_pad, tab is not None)
+            fn = _batched_sa(npad, syms, m_pad, tab is not None, ell_bits)
             args = (jnp.asarray(batch),) if tab is None else \
                 (jnp.asarray(batch), jnp.asarray(tab))
             sa_pad = np.asarray(fn(*args))

@@ -96,7 +96,7 @@ def test_prewarm_buckets_compiles_future_buckets(monkeypatch):
 
     monkeypatch.setattr(
         mesh, "_single_sa",
-        lambda npad, syms, m_pad=None, use_table=False:
+        lambda npad, syms, m_pad=None, use_table=False, ell_bits=None:
         _FakeJit(npad, m_pad, use_table))
     small = 1 << 20
     big1, big2 = 20 << 20, 70 << 20

@@ -241,6 +241,43 @@ def test_tok_table_compaction_path(rng, monkeypatch):
         jax.clear_caches()
 
 
+def test_ell_bits_static_run_length_bound(rng, monkeypatch):
+    """A static ell_bits bound must not change results, on both
+    compaction strategies, with and without the matching tok_table —
+    including the tightest legal bound (bits of the max run)."""
+    from gecoz_tpu.ops import sa_device
+    from gecoz_tpu.ops.sa_device import (max_run_length, runs_ell_bits,
+                                         runs_token_table)
+
+    s = np.concatenate([
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400),
+        np.full(555, ord("N"), np.uint8),
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400),
+        np.zeros(1, np.uint8)])
+    want = suffix_array_numpy(s)
+    syms = tuple(int(x) for x in np.unique(s))
+    tight = max(1, int(max_run_length(s)).bit_length())
+    assert runs_ell_bits(s) in sa_device.ELL_BITS_LADDER
+    for force_sorts in (False, True):
+        if force_sorts:
+            monkeypatch.setattr(sa_device, "_scatter_is_cheap",
+                                lambda: False)
+            jax.clear_caches()
+        try:
+            for ebs in (tight, runs_ell_bits(s), None):
+                tab = runs_token_table(s, syms, ell_bits=ebs)
+                for t in (None, tab):
+                    td = None if t is None else jnp.asarray(t)
+                    sa, bwt = sa_device._suffix_array_runs_jit(
+                        jnp.asarray(s), syms=syms, ell_bits=ebs,
+                        tok_table=td)
+                    assert np.array_equal(np.asarray(sa), want), \
+                        (force_sorts, ebs, t is not None)
+        finally:
+            if force_sorts:
+                jax.clear_caches()
+
+
 def test_max_run_length():
     assert max_run_length(np.frombuffer(b"AACCCA", np.uint8)) == 3
     assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
