@@ -430,13 +430,16 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         mark_rows = rows.astype(jnp.int32)
     else:
         # sampled values in row order via one stable partition sort (marked
-        # rows first) — compacting via nonzero+gather is ~4x a sort on TPU;
-        # the row positions ride as the second key = the select-1 table
+        # rows first) — compacting via nonzero+gather is ~4x a sort on TPU.
+        # The (not-marked, row) key pair packs into one int31 word (rows
+        # < 2^30 by the block-size contract), so the sort carries only
+        # two operands; the low bits of the sorted key are the select-1
+        # table
         iota = jnp.arange(sa.shape[0], dtype=jnp.int32)
-        _, rows_s, vals = jax.lax.sort(
-            ((~marked).astype(jnp.int32), iota, sa >> sf), num_keys=2)
+        pkey = ((~marked).astype(jnp.int32) << 30) | iota
+        keys_s, vals = jax.lax.sort((pkey, sa >> sf), num_keys=1)
         perm = vals[:m].astype(jnp.int32)
-        mark_rows = rows_s[:m].astype(jnp.int32)
+        mark_rows = (keys_s[:m] & ((1 << 30) - 1)).astype(jnp.int32)
     inv = jnp.zeros((m,), jnp.int32).at[perm].set(
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)
