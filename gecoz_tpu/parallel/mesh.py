@@ -71,10 +71,10 @@ def _batched_sa(npad: int, syms: tuple[int, ...] | None,
         return jax.jit(jax.vmap(
             lambda s, t: _suffix_array_runs_jit(
                 s, syms=syms, m_pad=m_pad, tok_table=t,
-                ell_bits=ell_bits)[0],
+                ell_bits=ell_bits),
             in_axes=(0, None)))
     return jax.jit(jax.vmap(lambda s: _suffix_array_runs_jit(
-        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits)[0]))
+        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits)))
 
 
 @functools.cache
@@ -91,9 +91,9 @@ def _single_sa(npad: int, syms: tuple[int, ...] | None,
     # sequential-carry kernel)
     if use_table:
         return jax.jit(lambda s, t: _suffix_array_runs_jit(
-            s, syms=syms, m_pad=m_pad, tok_table=t, ell_bits=ell_bits)[0])
+            s, syms=syms, m_pad=m_pad, tok_table=t, ell_bits=ell_bits))
     return jax.jit(lambda s: _suffix_array_runs_jit(
-        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits)[0])
+        s, syms=syms, m_pad=m_pad, ell_bits=ell_bits))
 
 
 PREWARM_MIN_BYTES = 16 << 20
@@ -149,9 +149,19 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
     return threads
 
 
-def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
+def suffix_arrays_batched(blocks: list[np.ndarray], with_bwt: bool = False
+                          ) -> list:
     """True suffix arrays for variable-length blocks via one padded,
-    vmapped device sort per size bucket.
+    vmapped device sort per size bucket; with_bwt=True additionally
+    returns each block's BWT as (sa, bwt) pairs.
+
+    The run-aware kernel emits the BWT as a free value operand of its
+    final sort; the padded rows restricted to sa < n ARE the true BWT
+    (padded_s[v-1] = data[v-1] for retained v > 0, and the v == 0 row
+    reads the trailing zero padding = the block's own \0 terminator —
+    patched on host for blocks that do not end in \0), so consumers skip
+    the reference's n-wide host gather s[sa[i]-1] (BWTDataSource,
+    GecozFileWriter.java:300-303) entirely.
 
     Blocks whose estimated device working set exceeds ONE device's HBM
     (accel.needs_sharded_sa) route to the in-block sharded kernel across
@@ -170,11 +180,12 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
         else:
             buckets.setdefault(_bucket_size(len(b)), []).append(i)
 
-    out: list[np.ndarray | None] = [None] * len(blocks)
+    out: list = [None] * len(blocks)
     for i in sharded:
         from gecoz_tpu.parallel.sharded_sa import suffix_array_sharded
-        sa, _ = suffix_array_sharded(blocks[i])
-        out[i] = np.asarray(sa).astype(np.int64)
+        sa, bwt = suffix_array_sharded(blocks[i])
+        sa = np.asarray(sa).astype(np.int64)
+        out[i] = (sa, np.asarray(bwt)) if with_bwt else sa
     for npad, idxs in buckets.items():
         batch = np.zeros((len(idxs), npad), dtype=np.uint8)
         for row, i in enumerate(idxs):
@@ -209,16 +220,30 @@ def suffix_arrays_batched(blocks: list[np.ndarray]) -> list[np.ndarray]:
             fn = _single_sa(npad, syms, m_pad, tab is not None, ell_bits)
             args = (jnp.asarray(batch[0]),) if tab is None else \
                 (jnp.asarray(batch[0]), jnp.asarray(tab))
-            sa_pad = np.asarray(fn(*args))[None]
+            sa_dev, bwt_dev = fn(*args)
+            sa_pad = np.asarray(sa_dev)[None]
+            bwt_pad = np.asarray(bwt_dev)[None] if with_bwt else None
         else:
             fn = _batched_sa(npad, syms, m_pad, tab is not None, ell_bits)
             args = (jnp.asarray(batch),) if tab is None else \
                 (jnp.asarray(batch), jnp.asarray(tab))
-            sa_pad = np.asarray(fn(*args))
+            sa_dev, bwt_dev = fn(*args)
+            sa_pad = np.asarray(sa_dev)
+            bwt_pad = np.asarray(bwt_dev) if with_bwt else None
         for row, i in enumerate(idxs):
             n = len(blocks[i])
             sa = sa_pad[row]
-            out[i] = sa[sa < n].astype(np.int64)
+            keep = sa < n
+            sa_true = sa[keep].astype(np.int64)
+            if with_bwt:
+                bwt_true = bwt_pad[row][keep]
+                if n and blocks[i][n - 1] != 0:
+                    # v == 0 row read the zero padding, not data[n-1]
+                    bwt_true = bwt_true.copy()
+                    bwt_true[int(np.argmin(sa_true))] = blocks[i][n - 1]
+                out[i] = (sa_true, bwt_true)
+            else:
+                out[i] = sa_true
     return out
 
 
@@ -243,7 +268,6 @@ def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
     from gecoz_tpu.index.hswt import HSWT
     from gecoz_tpu.index.shape import HSWTShape
     from gecoz_tpu.index.ssa import SampledSAIndex
-    from gecoz_tpu.ops.sa import bwt_from_sa
 
     from gecoz_tpu.utils import metrics
 
@@ -259,7 +283,7 @@ def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
                    and accel.accelerator_ok() else "host")
 
     with metrics.phase("mesh.sa", sum(len(b) for b in blocks)):
-        sas = suffix_arrays_batched(blocks)
+        sabs = suffix_arrays_batched(blocks, with_bwt=True)
     sf = sampling_rate.bit_length() - 1
 
     def serialize(data, hdrs, sa, shape, hswt):
@@ -278,10 +302,11 @@ def encode_blocks(blocks: list[np.ndarray], headers: list[list[str]],
     # construction on the device — the reference's intra-block 2-way
     # overlap (GecozFileWriter.java:262-277) at mesh scale
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for data, hdrs, sa in zip(blocks, headers, sas):
+        for data, hdrs, (sa, bwt) in zip(blocks, headers, sabs):
             shape = HSWTShape.from_counts(np.bincount(data, minlength=256))
-            with metrics.phase("mesh.bwt", len(data)):
-                bwt = bwt_from_sa(data, sa)
+            # BWT came back as a free operand of the device SA's final
+            # sort (suffix_arrays_batched with_bwt) — the reference's
+            # on-the-fly host gather (BWTDataSource) is gone
             hswt = None
             if backend == "device":
                 from gecoz_tpu.ops.wavelet import build_hswt_device

@@ -32,6 +32,27 @@ def test_padded_batched_sa_is_exact(rng):
         assert np.array_equal(sa, suffix_array_numpy(b))
 
 
+def test_padded_batched_sa_with_bwt(rng):
+    """with_bwt returns the TRUE per-block BWT off the padded device
+    rows — including the wrap row patch for a block not ending in \\0."""
+    from gecoz_tpu.ops.sa import bwt_from_sa
+
+    blocks = []
+    for nseq in (1, 3):
+        data, _ = random_block(rng, nseq=nseq, minlen=20, maxlen=500)
+        blocks.append(data)
+    # a block that does NOT end in \0 (wrap row reads the padding)
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=93)
+    raw[40] = 0
+    assert raw[-1] != 0
+    blocks.append(raw)
+    got = suffix_arrays_batched(blocks, with_bwt=True)
+    for b, (sa, bwt) in zip(blocks, got):
+        want_sa = suffix_array_numpy(b)
+        assert np.array_equal(sa, want_sa)
+        assert np.array_equal(bwt, bwt_from_sa(b, want_sa))
+
+
 def test_encode_blocks_matches_sequential(rng):
     blocks, headers = [], []
     for i in range(4):
