@@ -40,7 +40,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gecoz_tpu.ops.sa_device import _suffix_array_runs_jit
+    from gecoz_tpu.ops.sa_device import (_suffix_array_runs_jit,
+                                         runs_ell_bits, runs_m_pad,
+                                         runs_token_table)
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_run = "--run" in sys.argv
@@ -51,10 +53,21 @@ def main() -> None:
 
     for mb in sizes:
         n = mb << 20
+        # full round-4 accelerator set, measured from the synthetic data
+        # (host pass; the same path production callers take)
+        s = synth(n)
+        mp = runs_m_pad(s)
+        ebs = runs_ell_bits(s)
+        tab = runs_token_table(s, syms, ell_bits=ebs)
+        print(f"{mb} MiB: m_pad={mp/n:.3f}n ell_bits={ebs} "
+              f"table={'none' if tab is None else 'yes'}", flush=True)
         t0 = time.time()
         try:
             lowered = _suffix_array_runs_jit.lower(
-                jax.ShapeDtypeStruct((n,), jnp.uint8), syms=syms)
+                jax.ShapeDtypeStruct((n,), jnp.uint8), syms=syms,
+                m_pad=mp, ell_bits=ebs,
+                tok_table=None if tab is None else
+                jax.ShapeDtypeStruct(tab.shape, jnp.int32))
             comp = lowered.compile()
             mem = comp.memory_analysis()
             print(f"{mb} MiB: compiled in {time.time() - t0:.0f}s; "
@@ -67,12 +80,13 @@ def main() -> None:
                   f"{str(ex).splitlines()[0][:300]}")
             continue
         if not do_run:
+            del s
             continue
         try:
-            s = synth(n)
             d = jax.device_put(jnp.asarray(s), dev)
             t0 = time.perf_counter()
-            sa, bwt = comp(d)
+            sa, bwt = (comp(d) if tab is None
+                       else comp(d, jnp.asarray(tab)))
             # block_until_ready is a no-op on the remote relay backend;
             # force completion with a scalar fetch instead
             int(np.asarray(sa[-1]))
