@@ -327,8 +327,22 @@ def _device_decode(fm, backend: str) -> np.ndarray | None:
     if not want:
         return None
     try:
-        from gecoz_tpu.ops.fmq import decode_text_device
-        return np.asarray(decode_text_device(fm))
+        import jax
+
+        from gecoz_tpu.ops.fmq import (decode_text_jit,
+                                       device_block_from_fm, with_lf_table)
+        from gecoz_tpu.utils import metrics
+
+        # sub-phased version of fmq.decode_text_device so scale runs
+        # show WHERE device decode time goes (host wavelet->BWT decode
+        # vs lift/transfer/LF-table build vs kernel+fetch)
+        with metrics.phase("decode.host_bwt", fm.length):
+            _ = fm.bwt
+        with metrics.phase("decode.lift", fm.length):
+            block = jax.jit(with_lf_table)(device_block_from_fm(fm))
+            _ = int(np.asarray(block.c[0]))   # force (relay ignores wait)
+        with metrics.phase("decode.kernel_fetch", fm.length):
+            return np.asarray(decode_text_jit(block))
     except Exception as ex:                    # noqa: BLE001 — any device
         log.warning("device decode failed (%s); using the host tier", ex)
         return None
