@@ -615,14 +615,36 @@ def runs_m_pad(s: np.ndarray) -> int:
     return m_pad_bucket(m, n)
 
 
-def max_run_length(s: np.ndarray) -> int:
-    """Longest equal-symbol run (host, vectorized)."""
+def max_run_length(s: np.ndarray, _chunk: int = 4 << 20) -> int:
+    """Longest equal-symbol run (host, vectorized).
+
+    Chunked: the obvious one-shot flatnonzero allocates ~8 bytes/run
+    (1.5 GB for a chr1 block) — catastrophic on fresh-page-fault-bound
+    hosts; bounded chunks keep the working set at a few dozen MB and
+    recycle it."""
     s = np.asarray(s)
-    if s.shape[0] == 0:
+    n = int(s.shape[0])
+    if n == 0:
         return 0
-    bounds = np.flatnonzero(s[1:] != s[:-1])
-    edges = np.concatenate([[-1], bounds, [s.shape[0] - 1]])
-    return int(np.max(np.diff(edges)))
+    best = 0
+    carry = 0                      # open run length ending at chunk edge
+    prev = -1                      # its symbol (-1 = none)
+    for pos in range(0, n, _chunk):
+        part = s[pos:pos + _chunk]
+        m = part.shape[0]
+        diff = np.flatnonzero(part[1:] != part[:-1])
+        starts = np.concatenate([[0], diff + 1])
+        ends = np.concatenate([diff, [m - 1]])
+        lens = ends - starts + 1
+        if int(part[0]) == prev:
+            lens[0] += carry
+        else:
+            best = max(best, carry)
+        if lens.shape[0] > 1:
+            best = max(best, int(lens[:-1].max()))
+        carry = int(lens[-1])
+        prev = int(part[-1])
+    return max(best, carry)
 
 
 # k-mer seeding beats run seeding on run-free text (it starts ~7 symbols

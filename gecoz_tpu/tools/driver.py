@@ -45,6 +45,14 @@ def index_fasta(ipath, opath, xpath=None, sampling=DEFAULT_SAMPLING_RATE,
     if not sequences:
         raise SystemExit(f"no data found in file: {ipath}")
     blocks = plan_blocks(sequences)
+    # malloc tuning + arena pre-fault: the encode path churns multi-GB
+    # host temps (block buffers, device fetches, serialization scratch);
+    # on fresh-page-fault-bound VMs the mitigation is worth minutes per
+    # chr1-class block (utils/hostmem.py — the decode path already did
+    # this; in-process callers like validate_scale skip the CLI re-exec)
+    from gecoz_tpu.utils.hostmem import warm_for_block
+    warm_for_block(max((sum(s.length + 1 for s in b.sequences)
+                        for b in blocks), default=0))
     log.info("indexing %d sequences in %d blocks", len(sequences), len(blocks))
     skip = _resume_prefix(opath, xpath, blocks, sampling) if resume else 0
     if skip:

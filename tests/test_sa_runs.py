@@ -283,6 +283,11 @@ def test_max_run_length():
     assert max_run_length(np.frombuffer(b"A", np.uint8)) == 1
     assert max_run_length(np.zeros(0, np.uint8)) == 0
     assert max_run_length(np.full(17, 65, np.uint8)) == 17
+    # chunked scan: runs crossing chunk borders merge exactly
+    s = np.frombuffer(b"AAABBBBBCCBBBB", np.uint8)
+    for chunk in (1, 2, 3, 4, 7, 100):
+        assert max_run_length(s, _chunk=chunk) == 5, chunk
+    assert max_run_length(np.full(1000, 7, np.uint8), _chunk=64) == 1000
 
 
 def test_device_dispatch_auto_picks_runs(rng):
