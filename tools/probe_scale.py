@@ -63,11 +63,11 @@ def main() -> None:
               f"table={'none' if tab is None else 'yes'}", flush=True)
         t0 = time.time()
         try:
+            kw = {} if tab is None else {"tok_table":
+                jax.ShapeDtypeStruct(tab.shape, jnp.int32)}
             lowered = _suffix_array_runs_jit.lower(
                 jax.ShapeDtypeStruct((n,), jnp.uint8), syms=syms,
-                m_pad=mp, ell_bits=ebs,
-                tok_table=None if tab is None else
-                jax.ShapeDtypeStruct(tab.shape, jnp.int32))
+                m_pad=mp, ell_bits=ebs, **kw)
             comp = lowered.compile()
             mem = comp.memory_analysis()
             print(f"{mb} MiB: compiled in {time.time() - t0:.0f}s; "
@@ -84,13 +84,22 @@ def main() -> None:
             continue
         try:
             d = jax.device_put(jnp.asarray(s), dev)
-            t0 = time.perf_counter()
-            sa, bwt = (comp(d) if tab is None
-                       else comp(d, jnp.asarray(tab)))
-            # block_until_ready is a no-op on the remote relay backend;
-            # force completion with a scalar fetch instead
-            int(np.asarray(sa[-1]))
-            dt = time.perf_counter() - t0
+            # force the upload to finish BEFORE timing (device_put is
+            # async; on the relay the stream otherwise rides the first
+            # execution and pollutes the kernel number)
+            int(np.asarray(d[-1]))
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sa, bwt = (comp(d) if tab is None
+                           else comp(d, tok_table=jnp.asarray(tab)))
+                # block_until_ready is a no-op on the remote relay
+                # backend; force completion with a scalar fetch instead
+                int(np.asarray(sa[-1]))
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            print(f"{mb} MiB: exec times {['%.1f' % x for x in times]} s",
+                  flush=True)
             sa_np = np.asarray(sa)
             # exactness spot check: suffixes at sampled SA ranks are sorted
             idx = np.sort(np.random.default_rng(0).integers(
