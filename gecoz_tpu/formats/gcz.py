@@ -112,9 +112,8 @@ def _encode_on_device(data: np.ndarray, shape: HSWTShape):
     the in-block sharded kernel over all attached devices
     (parallel/sharded_sa) instead of failing over to the host tier."""
     import jax
-    import jax.numpy as jnp
 
-    from gecoz_tpu.ops.sa_device import bwt_device, suffix_array_device
+    from gecoz_tpu.ops.sa_device import suffix_array_device
     from gecoz_tpu.ops.wavelet import build_hswt_device
     from gecoz_tpu.utils import accel
 
@@ -127,10 +126,11 @@ def _encode_on_device(data: np.ndarray, shape: HSWTShape):
         else:
             # pass the HOST array: suffix_array_device precomputes the
             # run-count/run-length bounds + run-key table from it (one
-            # cheap host pass each) before the device dispatch
-            sa_dev = suffix_array_device(data)
-            d = jnp.asarray(data)
-            bwt = np.asarray(bwt_device(d, sa_dev))
+            # cheap host pass each) before the device dispatch; the BWT
+            # comes back as a free operand of the final sort (runs) or
+            # one fused on-device gather (kmer)
+            sa_dev, bwt_dev_arr = suffix_array_device(data, with_bwt=True)
+            bwt = np.asarray(bwt_dev_arr)
             sa = np.asarray(sa_dev).astype(np.int64)
         hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
     return sa, bwt, hswt

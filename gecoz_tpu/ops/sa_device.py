@@ -498,12 +498,14 @@ def dense_table(symbols) -> tuple[np.ndarray, int]:
 ELL_BITS_LADDER = (12, 16, 20, 25, 27)
 
 
-def runs_ell_bits(s: np.ndarray) -> int | None:
+def runs_ell_bits(s: np.ndarray, mx: int | None = None) -> int | None:
     """Static run-length bit bound for `_suffix_array_runs_jit`
     (host side): the smallest ladder rung covering the longest run, or
     None when no rung does (then the kernel's bit_length(n) default —
-    and its pack_seed gate — apply unchanged)."""
-    mx = max_run_length(s)
+    and its pack_seed gate — apply unchanged).  Callers that already
+    measured `max_run_length` pass it as `mx` to skip the host pass."""
+    if mx is None:
+        mx = max_run_length(s)
     bits = max(1, int(mx).bit_length())
     for rung in ELL_BITS_LADDER:
         if bits <= rung:
@@ -652,29 +654,40 @@ def max_run_length(s: np.ndarray, _chunk: int = 4 << 20) -> int:
 RUN_THRESHOLD = 64
 
 
-def suffix_array_device(s, impl: str = "auto") -> jax.Array:
+def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False):
     """Suffix array of a uint8 array, computed on the default JAX device.
 
     impl: 'kmer' (dense-packed prefix doubling), 'runs' (run-key seeding +
     jump doubling), or 'auto' (pick by the longest equal-symbol run).
+
+    with_bwt=True returns (sa, bwt): the runs kernel emits the BWT as a
+    free value operand of its final sort, so consumers skip the n-wide
+    gather (the kmer variant still derives it with one on-device gather).
     """
     s = np.asarray(s, dtype=np.uint8)
     if s.shape[0] == 0:
-        return jnp.zeros((0,), jnp.int32)
+        empty = jnp.zeros((0,), jnp.int32)
+        return (empty, jnp.zeros((0,), jnp.uint8)) if with_bwt else empty
+    mx = None
     if impl == "auto":
-        impl = "runs" if max_run_length(s) > RUN_THRESHOLD else "kmer"
+        mx = max_run_length(s)           # measured ONCE; threaded below
+        impl = "runs" if mx > RUN_THRESHOLD else "kmer"
     if impl == "runs":
         syms = tuple(int(x) for x in np.unique(s))
         if len(syms) > 7:
             syms = None          # packed seed only pays below 3 sym bits
-        ebs = runs_ell_bits(s)
+        ebs = runs_ell_bits(s, mx=mx)
         tab = runs_token_table(s, syms, ell_bits=ebs)
-        return _suffix_array_runs_jit(
+        sa, bwt = _suffix_array_runs_jit(
             jnp.asarray(s), syms=syms, m_pad=runs_m_pad(s),
             tok_table=None if tab is None else jnp.asarray(tab),
-            ell_bits=ebs)[0]
+            ell_bits=ebs)
+        return (sa, bwt) if with_bwt else sa
     table, bits = dense_table(np.unique(s))
-    return _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
+    sa = _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
+    if with_bwt:
+        return sa, bwt_device(jnp.asarray(s), sa)
+    return sa
 
 
 @jax.jit

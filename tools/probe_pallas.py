@@ -79,18 +79,13 @@ def step2_lf_walk_kernel():
     print(f"step2 XLA decode {n >> 20}MiB: {t_xla * 1e3:.1f} ms "
           f"({n / 1e6 / t_xla:.0f} MB/s)")
 
-    try:
-        from gecoz_tpu.ops.lfwalk_pallas import decode_text_pallas_jit
-        ckp = jax.jit(lambda b: _checksum(decode_text_pallas_jit(b)))
-        got = np.asarray(jax.jit(decode_text_pallas_jit)(block))
-        ok = np.array_equal(got, data)
-        int(np.asarray(ckp(block)))
-        t_pl = timeit(ckp, block)
-        print(f"step2 Pallas decode: {t_pl * 1e3:.1f} ms "
-              f"({n / 1e6 / t_pl:.0f} MB/s) correct={ok}")
-    except Exception as ex:   # noqa: BLE001
-        print(f"step2 Pallas kernel FAILED {type(ex).__name__}: "
-              f"{str(ex).splitlines()[0][:300]}")
+    # The Pallas LF-walk kernel was deleted in round 4: Mosaic cannot
+    # lower the 1D walk gather ("Only 2D gather is supported"), so the
+    # kernel never ran on-chip (see artifacts/PROBE_r4_pallas.log for the
+    # final on-device probe).  The XLA fused-LF^k number above is the
+    # production decode path.
+    print("step2 Pallas decode: kernel removed in r4 (Mosaic rejects the "
+          "1D walk gather); XLA fused-LF^k is the production path")
 
 
 def step3_sorted_gather():
