@@ -153,10 +153,13 @@ def main() -> None:
     assert np.array_equal(np.asarray(decode_text_jit(block)), data), \
         "decode mismatch"
 
+    # search at B = 1M queries (like locate) so the dispatch RTT is a
+    # reported share, not ~55% of the number (VERDICT r4 #2); the
+    # kernel-side rate (RTT subtracted) is reported alongside
     rng = np.random.default_rng(3)
-    B, L = 65536, 16
+    B, L = 1 << 20, 16
     starts = rng.integers(0, n - L, size=B)
-    pats = np.stack([data[s:s + L] for s in starts]).astype(np.uint8)
+    pats = data[starts[:, None] + np.arange(L)].astype(np.uint8)
     lens = np.full(B, L, np.int32)
     pats_d = jax.device_put(jnp.asarray(pats), dev)
     lens_d = jax.device_put(jnp.asarray(lens), dev)
@@ -165,8 +168,11 @@ def main() -> None:
     int(np.asarray(search_ck(block, pats_d, lens_d)))
     t_search = timeit(search_ck, block, pats_d, lens_d)
     qps = B / t_search / 1e6
-    print(f"# search: {qps:.2f} Mqueries/s ({L}-mers), "
-          f"{t_search*1e3:.1f} ms/batch", file=sys.stderr)
+    search_rtt_pct = rtt / t_search * 100
+    qps_kernel = B / max(t_search - rtt, 1e-9) / 1e6
+    print(f"# search: {qps:.2f} Mqueries/s ({L}-mers, B={B}), "
+          f"{t_search*1e3:.1f} ms/batch, rtt {search_rtt_pct:.1f}%, "
+          f"kernel-side {qps_kernel:.2f} Mq/s", file=sys.stderr)
 
     # locate: SA values for 1M random hit rows.  Two engines: the fused-LF
     # walk (~rate 4-byte gathers per query; the round-3 path) and the
@@ -186,6 +192,33 @@ def main() -> None:
           f"{locw_qps:.2f} (walk), {t_ltab*1e3:.1f} ms/batch",
           file=sys.stderr)
     del block_loc
+
+    # hardware roofline context (VERDICT r4 #7): the SA kernel is a sort
+    # cascade, so the honest "is it actually fast" yardstick is the
+    # chip's own raw 2-operand lax.sort rate at the same width.  The r4
+    # sort census (artifacts/PROBE_r4_sa64.log) puts the algorithm at ~9
+    # n-wide 2-operand sort-equivalents per block (seed+compact 2, round
+    # one 2, two doubling rounds 2x2, final 1), so
+    # sort_roofline_pct = 100 * 9 / (t_SA / t_raw_sort).
+    CENSUS_SORTS = 9
+    sort_extra = {}
+    if platform != "cpu-fallback":
+        try:
+            sn = 1 << 26
+            sk = jnp.asarray(rng.integers(0, 1 << 30, sn).astype(np.int32))
+            sv = jnp.arange(sn, dtype=jnp.int32)
+            raw_sort = jax.jit(lambda k, v: _checksum(
+                jax.lax.sort((k, v), num_keys=1)))
+            int(np.asarray(raw_sort(sk, sv)))
+            t_sort = timeit(raw_sort, sk, sv, repeat=2)
+            sort_rate = sn / t_sort / 1e6
+            print(f"# raw 2-op sort, 64 Mi: {t_sort*1e3:.0f} ms "
+                  f"({sort_rate:.0f} Melem/s)", file=sys.stderr)
+            sort_extra = {"sort64_ms": round(t_sort * 1e3, 1),
+                          "sort64_Melem_s": round(sort_rate, 1)}
+            del sk, sv
+        except Exception as ex:        # noqa: BLE001 — context only
+            print(f"# sort roofline skipped: {ex}", file=sys.stderr)
 
     # large-block point: same pipeline at a size where dispatch RTT is
     # negligible (<2% of the measure) — the scale the reference was built

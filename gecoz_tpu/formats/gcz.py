@@ -128,8 +128,13 @@ def _encode_on_device(data: np.ndarray, shape: HSWTShape):
             # run-count/run-length bounds + run-key table from it (one
             # cheap host pass each) before the device dispatch; the BWT
             # comes back as a free operand of the final sort (runs) or
-            # one fused on-device gather (kmer)
-            sa_dev, bwt_dev_arr = suffix_array_device(data, with_bwt=True)
+            # one fused on-device gather (kmer).  The upload itself goes
+            # 2-bit packed with run exceptions (utils/xfer) — ~3.5x
+            # fewer transport bytes on slow relays.
+            from gecoz_tpu.utils import xfer
+            s_dev = xfer.put_packed(data)
+            sa_dev, bwt_dev_arr = suffix_array_device(
+                data, with_bwt=True, s_dev=s_dev)
             bwt = np.asarray(bwt_dev_arr)
             sa = np.asarray(sa_dev).astype(np.int64)
         hswt = HSWT.from_packed(shape, build_hswt_device(bwt, shape))
@@ -165,7 +170,8 @@ def encode_block(data: np.ndarray, headers: list[str],
 
     if backend == "auto":
         from gecoz_tpu.utils import accel
-        if accel.device_worthwhile(n) and accel.accelerator_ok():
+        if accel.device_worthwhile(n) and accel.accelerator_ok() \
+                and accel.encode_device_wins(n):
             backend = "device"
 
     sa = None

@@ -371,6 +371,91 @@ def device_block_from_fm(fm) -> DeviceFMBlock:
                               fm.index.sampling_factor, fm.wrap_row)
 
 
+@functools.partial(jax.jit, static_argnames=("sf", "symbols"))
+def build_device_block_parts_jit(bwt: jax.Array, mark_rows: jax.Array,
+                                 perm: jax.Array, wrap_row: jax.Array,
+                                 sf: int, symbols: tuple[int, ...]
+                                 ) -> DeviceFMBlock:
+    """Query-state construction ON DEVICE from the decode-path parts: the
+    BWT plus the .gcx sampled rows/values (no suffix array needed).
+
+    The wire-thin companion of build_device_block_jit: a decode lift
+    transfers only the (packed) BWT and two m = ceil(n/rate) int32
+    arrays (~n/4 + n/8 bytes) instead of host-built planes + bwt
+    (~2.7n bytes) — the `decode.lift` fix of VERDICT r4 #1(d).
+    """
+    n = bwt.shape[0]
+    m = perm.shape[0]
+
+    bwt32 = bwt.astype(jnp.int32)
+    planes, pres, totals = [], [], []
+    sym_plane = np.full(256, -1, dtype=np.int32)
+    for row, s in enumerate(symbols):
+        sym_plane[s] = row
+        w, p = _plane_jit((bwt32 == s).astype(jnp.int32))
+        planes.append(w)
+        pres.append(p)
+        totals.append(p[-1] + jax.lax.population_count(w[-1]).astype(
+            jnp.int32))
+    counts = jnp.zeros((256,), jnp.int32).at[
+        jnp.asarray(symbols, dtype=jnp.int32)].set(jnp.stack(totals))
+    c = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(counts).astype(jnp.int32)])
+
+    marked = jnp.zeros((n,), jnp.int32).at[mark_rows].set(1)
+    mark_words, mark_pre = _plane_jit(marked)
+    inv = jnp.zeros((m,), jnp.int32).at[perm].set(
+        jnp.arange(m, dtype=jnp.int32))
+
+    pairs = jnp.stack([jnp.concatenate(planes),
+                       jnp.concatenate(pres).astype(jnp.uint32)], axis=1)
+    return DeviceFMBlock(
+        bwt=bwt, plane_pairs=pairs,
+        c=c, sym_plane=jnp.asarray(sym_plane),
+        wrap_row=wrap_row.astype(jnp.int32),
+        mark_words=mark_words, mark_pre=mark_pre,
+        mark_rows=mark_rows.astype(jnp.int32),
+        ssa_perm=perm.astype(jnp.int32), ssa_inv=inv,
+        lf_tab=jnp.zeros((0,), jnp.int32),
+        lfk_tab=jnp.zeros((0, 2), jnp.uint32),
+        kmer_tab=jnp.zeros((0, 2), jnp.int32),
+        loc_tab=jnp.zeros((0, 2), jnp.int32), sf=int(sf))
+
+
+def device_block_from_fm_packed(fm) -> tuple[DeviceFMBlock,
+                                             tuple[int, ...]]:
+    """Lift a host FMIndex with packed transfers: 2-bit+runs BWT upload
+    (utils/xfer) + the two small .gcx arrays, planes/marks/c built on
+    device.  Returns (block, live symbol tuple) — the symbols also drive
+    the packed text fetch."""
+    from gecoz_tpu.utils import xfer
+
+    counts = fm.hswt.symbol_counts()
+    symbols = tuple(int(x) for x in np.flatnonzero(counts))
+    if len(symbols) > MAX_PLANES:
+        raise ValueError(
+            f"alphabet of {len(symbols)} symbols exceeds the plane engine")
+    rows, _ = fm.index.sampled_rows()
+    bwt_dev = xfer.put_packed(fm.bwt, np.asarray(counts, np.int64))
+    block = build_device_block_parts_jit(
+        bwt_dev, jnp.asarray(np.sort(rows).astype(np.int32)),
+        jnp.asarray(np.asarray(fm.index.wsa.perm, np.int32)),
+        jnp.asarray(np.int32(fm.wrap_row)),
+        sf=int(fm.index.sampling_factor), symbols=symbols)
+    return block, symbols
+
+
+def fetch_text_packed(text_dev, symbols: tuple[int, ...], n: int
+                      ) -> np.ndarray:
+    """Device -> host text fetch at 4 bits/symbol (2x fewer wire bytes;
+    the decode direction of VERDICT r4 #1)."""
+    from gecoz_tpu.utils import xfer
+
+    pack = jax.jit(xfer.pack_nibbles_device, static_argnames=("symbols",))
+    packed = pack(text_dev, symbols=symbols)
+    return xfer.unpack_nibbles_host(np.asarray(packed), symbols, n)
+
+
 def _pack_bits_jit(bits: jax.Array) -> jax.Array:
     """0/1 int32 [n] -> uint32 words [ceil(n/32)], LSB-first (on device)."""
     n = bits.shape[0]
@@ -521,11 +606,13 @@ def with_kmer_table(block: DeviceFMBlock, k: int | None = None
     nplanes = block.plane_pairs.shape[0] // max(block.W, 1)
     bits = max(1, (nplanes - 1).bit_length())
     if k is None:
-        # table capped at ~2^19 rows (2^21 for blocks >= 4 MiB, where the
-        # ~16 MB table is negligible next to the block state and each
-        # extra seeded character removes a full lockstep occ round) and
-        # at ~n rows (tiny blocks get proportionally tiny tables)
-        cap = 21 if block.n >= (1 << 22) else 19
+        # table capped at ~2^19 rows for small blocks, 2^24 for blocks
+        # >= 4 MiB: at genomic sigma (6 planes -> 3 bits) that is k = 8,
+        # so a 16-mer runs 8 lockstep occ rounds instead of 9 — each
+        # seeded character removes a full 2-gathers-per-query round, and
+        # the ~150 MB level-8 table amortizes over every search batch
+        # against the block (VERDICT r4 #2)
+        cap = 24 if block.n >= (1 << 22) else 19
         k = max(1, min(8, cap // bits,
                        int(max(block.n, 2)).bit_length() // bits))
     # inverse plane map: plane row -> symbol byte

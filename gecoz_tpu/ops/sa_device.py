@@ -654,7 +654,8 @@ def max_run_length(s: np.ndarray, _chunk: int = 4 << 20) -> int:
 RUN_THRESHOLD = 64
 
 
-def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False):
+def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False,
+                        s_dev=None):
     """Suffix array of a uint8 array, computed on the default JAX device.
 
     impl: 'kmer' (dense-packed prefix doubling), 'runs' (run-key seeding +
@@ -663,6 +664,10 @@ def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False):
     with_bwt=True returns (sa, bwt): the runs kernel emits the BWT as a
     free value operand of its final sort, so consumers skip the n-wide
     gather (the kmer variant still derives it with one on-device gather).
+
+    `s_dev` is an optional already-device-resident copy of `s` (e.g. a
+    packed upload, utils/xfer.put_packed); the HOST array is still used
+    for the cheap bound/table precomputation.
     """
     s = np.asarray(s, dtype=np.uint8)
     if s.shape[0] == 0:
@@ -672,6 +677,8 @@ def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False):
     if impl == "auto":
         mx = max_run_length(s)           # measured ONCE; threaded below
         impl = "runs" if mx > RUN_THRESHOLD else "kmer"
+    if s_dev is None:
+        s_dev = jnp.asarray(s)
     if impl == "runs":
         syms = tuple(int(x) for x in np.unique(s))
         if len(syms) > 7:
@@ -679,14 +686,14 @@ def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False):
         ebs = runs_ell_bits(s, mx=mx)
         tab = runs_token_table(s, syms, ell_bits=ebs)
         sa, bwt = _suffix_array_runs_jit(
-            jnp.asarray(s), syms=syms, m_pad=runs_m_pad(s),
+            s_dev, syms=syms, m_pad=runs_m_pad(s),
             tok_table=None if tab is None else jnp.asarray(tab),
             ell_bits=ebs)
         return (sa, bwt) if with_bwt else sa
     table, bits = dense_table(np.unique(s))
-    sa = _suffix_array_jit(jnp.asarray(s), jnp.asarray(table), bits=bits)
+    sa = _suffix_array_jit(s_dev, jnp.asarray(table), bits=bits)
     if with_bwt:
-        return sa, bwt_device(jnp.asarray(s), sa)
+        return sa, bwt_device(s_dev, sa)
     return sa
 
 

@@ -27,18 +27,30 @@ _CACHED: bool | None = None
 # headroom for relay jitter.  Override with GECOZ_DEVICE_MIN_BYTES.
 DEVICE_MIN_BYTES = int(os.environ.get("GECOZ_DEVICE_MIN_BYTES", 512 << 10))
 
+# The probe also MEASURES the host->device transport (a timed ~4 MB
+# device_put): liveness alone let round 4's `auto` route a 539 MB upload
+# onto a ~2 MB/s relay and lose to its own host tier (VERDICT r4 weak
+# #1).  The measured rate feeds the dispatch cost model below.
 _PROBE_CODE = (
-    "import jax, jax.numpy as jnp;"
+    "import jax, jax.numpy as jnp, numpy as np, time;"
     "d = jax.devices()[0];"
     "assert d.platform != 'cpu', 'cpu-only';"
-    "print(int(jax.jit(lambda a: (a * 2).sum())(jnp.arange(8))))"
+    "print(int(jax.jit(lambda a: (a * 2).sum())(jnp.arange(8))));"
+    "a = np.zeros(1 << 22, np.uint8);"
+    "jax.device_put(a[:8]).block_until_ready();"
+    "t0 = time.perf_counter();"
+    "jax.device_put(a).block_until_ready();"
+    "dt = time.perf_counter() - t0;"
+    "print('TRANSPORT_MBPS', round(len(a) / 1e6 / dt, 3))"
 )
+
+_TRANSPORT: float | None = None
 
 
 def accelerator_ok(timeout_s: int = 120, attempts: int = 2,
                    _refresh: bool = False) -> bool:
     """True if the default JAX backend is a responsive non-CPU device."""
-    global _CACHED
+    global _CACHED, _TRANSPORT
     env = os.environ.get("GECOZ_ACCEL")
     if env is not None:
         return env not in ("0", "", "false")
@@ -51,11 +63,24 @@ def accelerator_ok(timeout_s: int = 120, attempts: int = 2,
                                timeout=timeout_s, capture_output=True)
             if r.returncode == 0:
                 ok = True
+                for line in r.stdout.decode().splitlines():
+                    if line.startswith("TRANSPORT_MBPS"):
+                        _TRANSPORT = float(line.split()[1])
                 break
         except subprocess.TimeoutExpired:
             pass
     _CACHED = ok
     return ok
+
+
+def transport_MBps() -> float | None:
+    """Measured host->device transport rate (MB/s), or None when unknown
+    (probe skipped/forced).  GECOZ_TRANSPORT_MBPS overrides (test hook +
+    operator escape hatch)."""
+    env = os.environ.get("GECOZ_TRANSPORT_MBPS")
+    if env:
+        return float(env)
+    return _TRANSPORT
 
 
 def device_worthwhile(nbytes: int) -> bool:
@@ -91,6 +116,62 @@ def device_hbm_bytes() -> int | None:
     except Exception:                        # noqa: BLE001 — probe only
         pass
     return None
+
+
+# -- transport-aware tier choice (VERDICT r4 #1a) ---------------------------
+#
+# Measured rates anchoring the cost model (all artifact-cited):
+#   device encode kernel  ~30 MB/s flat 64-248 MiB (SCALE_r4_device_sa.log)
+#   host tier encode      ~3.6 MB/s at hg38 scale  (SCALE_r4_hg38_host.log)
+#   device decode kernel  ~650 MB/s                (BENCH_r04 large_decode)
+#   host decode           ~9.6 MB/s at hg38 scale  (SCALE_r4_hg38_host.log)
+#   packed wire ratio     ~3.3x (2-bit + exceptions, utils/xfer.py)
+# The model is deliberately coarse — its job is the order-of-magnitude
+# call ("is a 2 MB/s relay slower than encoding on host?"), and every
+# decision is logged with its inputs so scale artifacts show WHY a tier
+# was picked.
+DEVICE_ENCODE_MBPS = 30.0
+HOST_ENCODE_MBPS = 3.6
+DEVICE_DECODE_MBPS = 650.0
+HOST_DECODE_MBPS = 9.6
+PACK_RATIO = 3.3
+
+
+def _log_choice(kind: str, nbytes: int, dev_s: float, host_s: float,
+                t: float) -> None:
+    import logging
+    logging.getLogger("gecoz").info(
+        "%s dispatch for %d MB: device %.1fs (kernel + packed wire @ "
+        "%.1f MB/s transport) vs host %.1fs -> %s tier", kind,
+        nbytes >> 20, dev_s, t, host_s,
+        "device" if dev_s < host_s else "host")
+
+
+def encode_device_wins(nbytes: int) -> bool:
+    """Device tier beats the host tier for an encode of `nbytes`, given
+    the measured transport.  Unknown transport -> True (previous
+    behavior: liveness + size gate only)."""
+    t = transport_MBps()
+    if t is None or nbytes <= 0:
+        return True
+    mb = nbytes / 1e6
+    dev = mb / DEVICE_ENCODE_MBPS + mb / PACK_RATIO / t
+    host = mb / HOST_ENCODE_MBPS
+    _log_choice("encode", nbytes, dev, host, t)
+    return dev < host
+
+
+def decode_device_wins(nbytes: int) -> bool:
+    """Device tier beats the host tier for a full-text decode: the wire
+    cost is TWO packed trips (BWT + query state up, text down)."""
+    t = transport_MBps()
+    if t is None or nbytes <= 0:
+        return True
+    mb = nbytes / 1e6
+    dev = mb / DEVICE_DECODE_MBPS + 2 * mb / PACK_RATIO / t
+    host = mb / HOST_DECODE_MBPS
+    _log_choice("decode", nbytes, dev, host, t)
+    return dev < host
 
 
 def needs_sharded_sa(nbytes: int) -> bool:

@@ -55,6 +55,23 @@ def test_decompress_parallel_bit_exact(tmp_path, rng, threads):
     assert out.read_bytes() == want
 
 
+def test_decompress_device_backend_packed_lift(tmp_path, rng):
+    """backend='device' decompress goes through the PACKED lift
+    (device_block_from_fm_packed + 4-bit text fetch) and stays
+    bit-exact — the wire-thin decode path of VERDICT r4 #1d."""
+    records = [("chr1", random_dna(rng, 6000, b"ACGTN")),
+               ("chr2", random_dna(rng, 1234))]
+    fa = tmp_path / "in.fa"
+    write_fasta(fa, records)
+    gcz = tmp_path / "out.gcz"
+    driver.index_fasta(fa, gcz, backend="numpy")
+    out = tmp_path / "back.fa"
+    driver.decompress(gcz, out, backend="device")
+    want = b"".join(format_fasta_record(h, s) for h, s in
+                    sorted(records, key=lambda r: (-len(r[1]), r[0])))
+    assert out.read_bytes() == want
+
+
 def test_decompress_many_small_chunks(tmp_path, rng, monkeypatch):
     """Tiny DECODE_CHUNK forces many chunk tasks crossing record bounds."""
     monkeypatch.setattr(driver, "DECODE_CHUNK", 128)

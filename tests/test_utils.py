@@ -69,3 +69,32 @@ def test_slice_packed_bits_matches_unpack_repack():
         got = slice_packed_bits(buf, s, ln)
         assert np.array_equal(got, want)
     assert slice_packed_bits(np.zeros(2, np.uint8), 3, 0).size == 0
+
+
+def test_transport_aware_dispatch(monkeypatch):
+    """The auto tier must route around a slow relay (VERDICT r4 #1a):
+    with a measured ~2 MB/s transport the encode still wins on device
+    (packed wire + 30 MB/s kernel beats the 3.6 MB/s host tier), but the
+    decode does NOT (two wire trips vs a 9.6 MB/s host decode); on a
+    crawling link both lose; unknown transport keeps legacy behavior."""
+    from gecoz_tpu.utils import accel
+
+    n = 256 << 20
+    monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "2.0")
+    assert accel.transport_MBps() == 2.0
+    assert accel.encode_device_wins(n)
+    assert not accel.decode_device_wins(n)
+
+    monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "0.3")
+    assert not accel.encode_device_wins(n)
+    assert not accel.decode_device_wins(n)
+
+    monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "1000")
+    assert accel.encode_device_wins(n)
+    assert accel.decode_device_wins(n)
+
+    monkeypatch.delenv("GECOZ_TRANSPORT_MBPS")
+    monkeypatch.setattr(accel, "_TRANSPORT", None)
+    assert accel.transport_MBps() is None
+    assert accel.encode_device_wins(n)
+    assert accel.decode_device_wins(n)
