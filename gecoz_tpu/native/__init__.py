@@ -78,6 +78,10 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.gecoz_deflate.restype = ctypes.c_int64
+        lib.gecoz_deflate_sa.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.gecoz_deflate_sa.restype = ctypes.c_int64
         lib.gecoz_inflate_fd.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32)]
@@ -214,15 +218,22 @@ def inflate_to_fd(data, fd: int) -> tuple[int, int, int]:
     return int(n), int(consumed.value), int(crc.value)
 
 
-def deflate(data: np.ndarray | bytes) -> bytes:
-    """Fast deflate (greedy hash-chain, dynamic Huffman blocks)."""
+def deflate(data: np.ndarray | bytes, matcher: str = "hash") -> bytes:
+    """Fast deflate (dynamic Huffman blocks).
+
+    matcher='hash': greedy hash-chain (fastest).  matcher='sa': the
+    reference's production architecture (LZ77.java:26-180) — suffix
+    array + exact LPF matching with lazy deferral and the final-table
+    gain re-check; ~4 pp better ratio on genomic text.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     src = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
     cap = max(1024, len(src) + len(src) // 2 + 1024)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.gecoz_deflate(_u8ptr(src), len(src), _u8ptr(out), cap)
+    fn = lib.gecoz_deflate_sa if matcher == "sa" else lib.gecoz_deflate
+    n = fn(_u8ptr(src), len(src), _u8ptr(out), cap)
     if n < 0:
         raise MemoryError("deflate output capacity exceeded")
     return out[:n].tobytes()

@@ -155,6 +155,91 @@ const int WBITS = 15;
 const uint32_t WMASK = (1u << WBITS) - 1;  // 32 KiB window
 const int HBITS = 16;
 
+struct Tables {
+  uint8_t lit_lens[288], dist_lens[30];
+  uint16_t lit_codes[288], dist_codes[30];
+};
+
+void build_tables(const uint64_t* lit_freq, const uint64_t* dist_freq_in,
+                  Tables& t) {
+  uint64_t dist_freq[30];
+  std::memcpy(dist_freq, dist_freq_in, sizeof dist_freq);
+  huff_lengths(lit_freq, 288, 15, t.lit_lens);
+  bool any_dist = false;
+  for (int i = 0; i < 30; ++i) any_dist |= dist_freq[i] != 0;
+  if (!any_dist) dist_freq[0] = 1;
+  huff_lengths(dist_freq, 30, 15, t.dist_lens);
+  canonical_codes(t.lit_lens, 288, t.lit_codes);
+  canonical_codes(t.dist_lens, 30, t.dist_codes);
+}
+
+// dynamic header + token stream + end-of-block
+void write_block(BitOut& bw, const Tables& t,
+                 const std::vector<Token>& toks, bool last) {
+  int hlit = 257, hdist = 1;
+  for (int i = 287; i >= 257; --i) if (t.lit_lens[i]) { hlit = i + 1; break; }
+  for (int i = 29; i >= 1; --i) if (t.dist_lens[i]) { hdist = i + 1; break; }
+
+  std::vector<uint8_t> all(hlit + hdist);
+  std::memcpy(all.data(), t.lit_lens, hlit);
+  std::memcpy(all.data() + hlit, t.dist_lens, hdist);
+  struct Op { uint8_t sym, extra, ebits; };
+  std::vector<Op> ops;
+  uint64_t cl_freq[19] = {0};
+  for (size_t i = 0; i < all.size();) {
+    uint8_t v = all[i];
+    size_t j = i;
+    while (j < all.size() && all[j] == v) ++j;
+    size_t run = j - i;
+    if (v == 0) {
+      while (run >= 11) { size_t r = std::min<size_t>(run, 138);
+        ops.push_back({18, (uint8_t)(r - 11), 7}); run -= r; }
+      while (run >= 3) { size_t r = std::min<size_t>(run, 10);
+        ops.push_back({17, (uint8_t)(r - 3), 3}); run -= r; }
+      while (run--) ops.push_back({0, 0, 0});
+    } else {
+      ops.push_back({v, 0, 0});
+      --run;
+      while (run >= 3) { size_t r = std::min<size_t>(run, 6);
+        ops.push_back({16, (uint8_t)(r - 3), 2}); run -= r; }
+      while (run--) ops.push_back({v, 0, 0});
+    }
+    i = j;
+  }
+  for (auto& op : ops) cl_freq[op.sym]++;
+  uint8_t cl_lens[19];
+  uint16_t cl_codes[19];
+  huff_lengths(cl_freq, 19, 7, cl_lens);
+  canonical_codes(cl_lens, 19, cl_codes);
+  int hclen = 4;
+  for (int i = 18; i >= 4; --i)
+    if (cl_lens[CL_ORDER[i]]) { hclen = i + 1; break; }
+
+  bw.write(last ? 1 : 0, 1);
+  bw.write(2, 2);
+  bw.write(hlit - 257, 5);
+  bw.write(hdist - 1, 5);
+  bw.write(hclen - 4, 4);
+  for (int i = 0; i < hclen; ++i) bw.write(cl_lens[CL_ORDER[i]], 3);
+  for (auto& op : ops) {
+    bw.write(cl_codes[op.sym], cl_lens[op.sym]);
+    if (op.ebits) bw.write(op.extra, op.ebits);
+  }
+  for (auto& t_ : toks) {
+    if (t_.dist == 0) {
+      bw.write(t.lit_codes[t_.lit_or_len], t.lit_lens[t_.lit_or_len]);
+    } else {
+      int lc = len_code(t_.lit_or_len);
+      bw.write(t.lit_codes[257 + lc], t.lit_lens[257 + lc]);
+      bw.write(t_.lit_or_len - LEN_BASE[lc], LEN_EXTRA[lc]);
+      int dc = dist_code(t_.dist);
+      bw.write(t.dist_codes[dc], t.dist_lens[dc]);
+      bw.write(t_.dist - DIST_BASE[dc], DIST_EXTRA[dc]);
+    }
+  }
+  bw.write(t.lit_codes[256], t.lit_lens[256]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -243,80 +328,173 @@ int64_t gecoz_deflate(const uint8_t* src, int64_t n,
     }
     lit_freq[256]++;
 
-    uint8_t lit_lens[288], dist_lens[30];
-    uint16_t lit_codes[288], dist_codes[30];
-    huff_lengths(lit_freq, 288, 15, lit_lens);
-    bool any_dist = false;
-    for (int i = 0; i < 30; ++i) any_dist |= dist_freq[i] != 0;
-    if (!any_dist) dist_freq[0] = 1;
-    huff_lengths(dist_freq, 30, 15, dist_lens);
-    canonical_codes(lit_lens, 288, lit_codes);
-    canonical_codes(dist_lens, 30, dist_codes);
+    Tables t;
+    build_tables(lit_freq, dist_freq, t);
+    write_block(bw, t, toks, block_end >= n);
+    if (bw.overflow) return -1;
+    if (n == 0) break;
+  }
+  bw.flush();
+  return bw.overflow ? -1 : bw.pos;
+}
 
-    // header
-    int hlit = 257, hdist = 1;
-    for (int i = 287; i >= 257; --i) if (lit_lens[i]) { hlit = i + 1; break; }
-    for (int i = 29; i >= 1; --i) if (dist_lens[i]) { hdist = i + 1; break; }
+// from sais.cpp / lpf.cpp (all sources link into one libgecoz.so)
+void gecoz_sais_u8(const uint8_t* s, int32_t n, int32_t* sa);
+void gecoz_lpf(const uint8_t* s, const int32_t* sa, int32_t n,
+               int32_t min_match, int32_t max_match,
+               int32_t* out_len, int32_t* out_dist);
 
-    // RLE the combined lengths
-    std::vector<uint8_t> all(hlit + hdist);
-    std::memcpy(all.data(), lit_lens, hlit);
-    std::memcpy(all.data() + hlit, dist_lens, hdist);
-    struct Op { uint8_t sym, extra, ebits; };
-    std::vector<Op> ops;
-    uint64_t cl_freq[19] = {0};
-    for (size_t i = 0; i < all.size();) {
-      uint8_t v = all[i];
-      size_t j = i;
-      while (j < all.size() && all[j] == v) ++j;
-      size_t run = j - i;
-      if (v == 0) {
-        while (run >= 11) { size_t r = std::min<size_t>(run, 138);
-          ops.push_back({18, (uint8_t)(r - 11), 7}); run -= r; }
-        while (run >= 3) { size_t r = std::min<size_t>(run, 10);
-          ops.push_back({17, (uint8_t)(r - 3), 3}); run -= r; }
-        while (run--) ops.push_back({0, 0, 0});
-      } else {
-        ops.push_back({v, 0, 0});
-        --run;
-        while (run >= 3) { size_t r = std::min<size_t>(run, 6);
-          ops.push_back({16, (uint8_t)(r - 3), 2}); run -= r; }
-        while (run--) ops.push_back({v, 0, 0});
+// SA-matcher deflate (the reference's PRODUCTION architecture,
+// LZ77.java:26-180: suffix array over the window + LCP neighbor
+// matching): exact LPF via gecoz_lpf, one-position lazy deferral (exact
+// under LPF), and the reference Deflater's final-table gain re-check
+// ("check if there is no gain", Deflater.java ~150-190) — matches whose
+// dynamic-code cost meets their literal spelling are expanded back and
+// the tables rebuilt.  Same block framing as gecoz_deflate: 64 KiB
+// double window sliding 32 KiB, one dynamic block per window.
+// Returns bytes written or -1 if cap exceeded.
+int64_t gecoz_deflate_sa(const uint8_t* src, int64_t n,
+                         uint8_t* out, int64_t cap) {
+  BitOut bw{out, cap};
+  const int64_t W = 32 * 1024;
+  std::vector<int32_t> sa, mlen, mdist, rank;
+  std::vector<Token> toks;
+
+  for (int64_t off = 0; off < n || n == 0; off += W) {
+    const int64_t hist = off >= W ? off - W : 0;
+    const int64_t wn = std::min(n, off + W) - hist;   // <= 64 KiB
+    const uint8_t* wp = src + hist;
+    const int32_t start = (int32_t)(off - hist);
+
+    toks.clear();
+    uint64_t lit_freq[288] = {0};
+    uint64_t dist_freq[30] = {0};
+
+    if (wn > 0) {
+      sa.resize(wn); mlen.resize(wn); mdist.resize(wn); rank.resize(wn);
+      gecoz_sais_u8(wp, (int32_t)wn, sa.data());
+      gecoz_lpf(wp, sa.data(), (int32_t)wn, 3,
+                (int32_t)std::min<int64_t>(258, wn), mlen.data(),
+                mdist.data());
+      for (int32_t r = 0; r < (int32_t)wn; ++r) rank[sa[r]] = r;
+
+      // deflate distances cap at 32 KiB; the exact-LPF neighbors are
+      // nearest-by-POSITION, so a far match may hide a legal nearer
+      // occurrence.  Recover it the reference's own way (LZ77.java SA
+      // neighbor scan): walk a few ranks each side tracking the running
+      // LCP minimum, keep the best candidate within the window.
+      auto rescan = [&](int32_t p) {
+        const int32_t r = rank[p];
+        int32_t best = 0, bdist = 0;
+        int32_t run = 1 << 30;
+        for (int32_t q = r - 1; q >= 0 && q >= r - 48; --q) {
+          // lcp between rank q and r shrinks monotonically
+          int32_t step = 0;
+          const uint8_t* a = wp + sa[q + 1];
+          const uint8_t* b = wp + sa[q];
+          int32_t lim = (int32_t)wn - std::max(sa[q + 1], sa[q]);
+          while (step < lim && a[step] == b[step]) ++step;
+          run = std::min(run, step);
+          if (run < 3 || run <= best) break;
+          int32_t d = p - sa[q];
+          if (d > 0 && d <= (int32_t)WMASK && run > best) {
+            best = run; bdist = d;
+          }
+        }
+        int32_t run2 = 1 << 30;
+        for (int32_t q = r + 1; q < (int32_t)wn && q <= r + 48; ++q) {
+          int32_t step = 0;
+          const uint8_t* a = wp + sa[q - 1];
+          const uint8_t* b = wp + sa[q];
+          int32_t lim = (int32_t)wn - std::max(sa[q - 1], sa[q]);
+          while (step < lim && a[step] == b[step]) ++step;
+          run2 = std::min(run2, step);
+          if (run2 < 3 || run2 <= best) break;
+          int32_t d = p - sa[q];
+          if (d > 0 && d <= (int32_t)WMASK && run2 > best) {
+            best = run2; bdist = d;
+          }
+        }
+        mlen[p] = best >= 3 ? std::min(best, (int32_t)258) : 0;
+        mdist[p] = bdist;
+      };
+      for (int32_t p = start; p < (int32_t)wn; ++p)
+        if (mlen[p] >= 3 && mdist[p] > (int32_t)WMASK) rescan(p);
+
+      // lazy tokenize (exact: mlen IS the longest previous factor)
+      int32_t i = start;
+      while (i < (int32_t)wn) {
+        int32_t l = mlen[i];
+        if (l >= 3) {
+          if (i + 1 < (int32_t)wn && mlen[i + 1] > l) {
+            lit_freq[wp[i]]++;
+            toks.push_back({wp[i], 0});
+            ++i;
+            continue;
+          }
+          toks.push_back({(uint32_t)l, (uint32_t)mdist[i]});
+          lit_freq[257 + len_code(l)]++;
+          dist_freq[dist_code(mdist[i])]++;
+          i += l;
+        } else {
+          lit_freq[wp[i]]++;
+          toks.push_back({wp[i], 0});
+          ++i;
+        }
       }
-      i = j;
     }
-    for (auto& op : ops) cl_freq[op.sym]++;
-    uint8_t cl_lens[19];
-    uint16_t cl_codes[19];
-    huff_lengths(cl_freq, 19, 7, cl_lens);
-    canonical_codes(cl_lens, 19, cl_codes);
-    int hclen = 4;
-    for (int i = 18; i >= 4; --i)
-      if (cl_lens[CL_ORDER[i]]) { hclen = i + 1; break; }
+    lit_freq[256]++;
 
-    bw.write(block_end >= n ? 1 : 0, 1);
-    bw.write(2, 2);
-    bw.write(hlit - 257, 5);
-    bw.write(hdist - 1, 5);
-    bw.write(hclen - 4, 4);
-    for (int i = 0; i < hclen; ++i) bw.write(cl_lens[CL_ORDER[i]], 3);
-    for (auto& op : ops) {
-      bw.write(cl_codes[op.sym], cl_lens[op.sym]);
-      if (op.ebits) bw.write(op.extra, op.ebits);
-    }
-    for (auto& t : toks) {
-      if (t.dist == 0) {
-        bw.write(lit_codes[t.lit_or_len], lit_lens[t.lit_or_len]);
-      } else {
-        int lc = len_code(t.lit_or_len);
-        bw.write(lit_codes[257 + lc], lit_lens[257 + lc]);
-        bw.write(t.lit_or_len - LEN_BASE[lc], LEN_EXTRA[lc]);
-        int dc = dist_code(t.dist);
-        bw.write(dist_codes[dc], dist_lens[dc]);
-        bw.write(t.dist - DIST_BASE[dc], DIST_EXTRA[dc]);
+    Tables t;
+    build_tables(lit_freq, dist_freq, t);
+
+    // final-table gain re-check (Deflater.java ~150-190): with actual
+    // code lengths known, expand matches that do not beat their bytes
+    // spelled as literals, then rebuild the tables once.
+    bool changed = false;
+    {
+      std::vector<Token> expanded;
+      expanded.reserve(toks.size());
+      int64_t pos = start;
+      for (auto& tk : toks) {
+        if (tk.dist == 0) {
+          expanded.push_back(tk);
+          ++pos;
+          continue;
+        }
+        int lc = len_code(tk.lit_or_len), dc = dist_code(tk.dist);
+        int mcost = t.lit_lens[257 + lc] + LEN_EXTRA[lc]
+                  + t.dist_lens[dc] + DIST_EXTRA[dc];
+        int lcost = 0;
+        for (uint32_t k = 0; k < tk.lit_or_len; ++k) {
+          int c = t.lit_lens[wp[pos + k]];
+          lcost += c > 0 ? c : 15;          // unassigned -> pessimistic
+        }
+        if (lcost <= mcost) {
+          for (uint32_t k = 0; k < tk.lit_or_len; ++k)
+            expanded.push_back({wp[pos + k], 0});
+          changed = true;
+        } else {
+          expanded.push_back(tk);
+        }
+        pos += tk.lit_or_len;
+      }
+      if (changed) {
+        toks.swap(expanded);
+        uint64_t lf[288] = {0}, df[30] = {0};
+        for (auto& tk : toks) {
+          if (tk.dist == 0) lf[tk.lit_or_len]++;
+          else {
+            lf[257 + len_code(tk.lit_or_len)]++;
+            df[dist_code(tk.dist)]++;
+          }
+        }
+        lf[256]++;
+        build_tables(lf, df, t);
       }
     }
-    bw.write(lit_codes[256], lit_lens[256]);
+
+    write_block(bw, t, toks, off + W >= n);
     if (bw.overflow) return -1;
     if (n == 0) break;
   }

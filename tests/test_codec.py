@@ -188,3 +188,43 @@ def test_sa_matcher_roundtrip(rng):
     data = bytes(rng.integers(60, 80, size=200_000).astype(np.uint8))
     out = Deflater("sa").deflate(data).getvalue()
     assert inflate_bytes(out) == data
+
+
+def test_native_sa_matcher_roundtrip_and_ratio(rng):
+    """The native SA-LPF encoder (deflate_enc.cpp::gecoz_deflate_sa —
+    the reference's production matcher architecture, LZ77.java:26-180):
+    valid RFC1951 through BOTH this repo's inflater and zlib, and a
+    strictly better ratio than the hash chain on genomic text."""
+    import zlib
+
+    from gecoz_tpu import native
+    from gecoz_tpu.codec.deflate import inflate_bytes
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    syms = np.frombuffer(b"ACGTN", np.uint8)
+    data = rng.choice(syms, size=1 << 18,
+                      p=[.29, .2, .2, .29, .02]).astype(np.uint8).tobytes()
+    sa = native.deflate(data, matcher="sa")
+    assert zlib.decompress(sa, wbits=-15) == data
+    assert inflate_bytes(sa) == data
+    assert len(sa) < len(native.deflate(data, matcher="hash"))
+    # edge cases: empty + tiny + all-equal
+    for payload in (b"", b"A", b"AAAAAAAAAAAAAAAA" * 100):
+        enc = native.deflate(payload, matcher="sa")
+        assert zlib.decompress(enc, wbits=-15) == payload
+
+
+def test_bgzf_member_auto_uses_sa_and_roundtrips(tmp_path, rng):
+    """GzipFileWriter(auto) BGZF members ride the SA matcher by default
+    and stay readable by the repo reader AND stdlib gzip."""
+    import gzip as stdgzip
+
+    from gecoz_tpu.codec.gzip_file import GzipFileReader, GzipFileWriter
+    syms = np.frombuffer(b"ACGT", np.uint8)
+    data = rng.choice(syms, size=200_000).astype(np.uint8).tobytes()
+    p = tmp_path / "x.bgzf.gz"
+    with GzipFileWriter(p, bgzf=True) as w:
+        w.write(data)
+    assert stdgzip.decompress(p.read_bytes()) == data
+    assert GzipFileReader(p).read_all() == data
