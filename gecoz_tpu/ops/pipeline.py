@@ -27,20 +27,23 @@ DNA_SYMBOLS = (0, 65, 67, 71, 78, 84)  # \0 A C G N T
 
 
 @functools.partial(jax.jit, static_argnames=("sf", "symbols", "sa_impl",
-                                             "m_pad", "ell_bits"))
+                                             "m_pad", "ell_bits",
+                                             "r1_keys"))
 def index_block(s: jax.Array, sf: int = 5,
                 symbols: tuple[int, ...] = DNA_SYMBOLS,
                 sa_impl: str = "runs",
                 m_pad: int | None = None,
                 tok_table: jax.Array | None = None,
-                ell_bits: int | None = None) -> DeviceFMBlock:
+                ell_bits: int | None = None,
+                r1_keys: int | None = None) -> DeviceFMBlock:
     """Raw block bytes -> device FM query state (SA -> BWT -> planes).
 
     sa_impl 'runs' (default) is robust to the long equal-symbol runs of
     real genomes; 'kmer' is the dense-packed doubling variant (a round or
     two faster on run-free text).  `m_pad` (static run-count bound,
-    `sa_device.runs_m_pad`) and `tok_table` (traced run-key table,
-    `sa_device.runs_token_table`) are host-precomputed accelerators for
+    `sa_device.runs_m_pad`), `tok_table` (traced run-key table,
+    `sa_device.runs_token_table`) and `r1_keys` (round-one sort width,
+    `sa_device.runs_r1_keys`) are host-precomputed accelerators for
     the runs kernel — ~0.75n doubling sorts and sort-free compaction.
     """
     if sa_impl == "runs":
@@ -49,7 +52,7 @@ def index_block(s: jax.Array, sf: int = 5,
         # the packed 1-key seed sort
         sa, bwt = _suffix_array_runs_jit(
             s, syms=symbols if len(symbols) <= 7 else None, m_pad=m_pad,
-            tok_table=tok_table, ell_bits=ell_bits)
+            tok_table=tok_table, ell_bits=ell_bits, r1_keys=r1_keys)
     else:
         table, bits = dense_table(symbols)
         sa = _suffix_array_jit(s, jnp.asarray(table), bits=bits)

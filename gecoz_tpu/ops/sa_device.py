@@ -46,11 +46,15 @@ def apply_perm(dest, *vals):
     """out[dest[j]] = vals[j] for each value array; `dest` a permutation.
 
     TPU: one 1-key sort carrying all values; CPU: plain scatters.
+    `dest` is distinct by contract, so the sort need not be stable —
+    XLA's stable sort materializes an implicit index tiebreaker (an
+    extra operand through the whole bitonic network), measurably slower.
     """
     if _scatter_is_cheap():
         outs = tuple(jnp.zeros_like(v).at[dest].set(v) for v in vals)
     else:
-        outs = jax.lax.sort((dest,) + vals, num_keys=1)[1:]
+        outs = jax.lax.sort((dest,) + vals, num_keys=1,
+                            is_stable=False)[1:]
     return outs if len(outs) > 1 else outs[0]
 
 
@@ -66,7 +70,12 @@ def _sort_rerank_n(keys: tuple, iota):
     """
     from gecoz_tpu.ops.scan_pallas import cumsum_i32
     n = iota.shape[0]
-    out = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys))
+    # unstable: ties collapse to one rank whatever their order, and every
+    # consumer of `order` pairs it with values that are equal across the
+    # tie (see call sites) — while a stable XLA sort pays for an implicit
+    # index tiebreaker operand
+    out = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
+                       is_stable=False)
     ks, order = out[:-1], out[-1]
     diff = jnp.zeros((n - 1,), jnp.bool_)
     for k in ks:
@@ -90,7 +99,7 @@ def _sort_rerank1(key, iota):
     whose composite key fits one int31 word (~half the sort cost on TPU)."""
     from gecoz_tpu.ops.scan_pallas import cumsum_i32
     n = iota.shape[0]
-    ks, order = jax.lax.sort((key, iota), num_keys=1)
+    ks, order = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (ks[1:] != ks[:-1]).astype(jnp.int32)])
@@ -313,7 +322,8 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         for i in range(TOK_TABLE_SIZE):
             dense0 = dense0 + (rank0 >= tok_table[i]).astype(jnp.int32)
         ckey = jnp.where(is_start, iota, (1 << 30) + iota)
-        skeys, tok_n = jax.lax.sort((ckey, dense0), num_keys=1)
+        skeys, tok_n = jax.lax.sort((ckey, dense0), num_keys=1,
+                                     is_stable=False)
         starts_full = skeys & ((1 << 30) - 1)
         tok = tok_n[:M]            # pad slots carry junk; masked by m
     else:
@@ -331,7 +341,8 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         # the raw packed seed key (order-isomorphic, non-dense), whose
         # range collides with any in-band sentinel
         nst = (~is_start).astype(jnp.int32)
-        nsts, vks, order1 = jax.lax.sort((nst, rank0, iota), num_keys=2)
+        nsts, vks, order1 = jax.lax.sort((nst, rank0, iota), num_keys=2,
+                                         is_stable=False)
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             ((vks[1:] != vks[:-1])
@@ -352,21 +363,27 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         return jnp.where(iota_m + k >= m, -1, out)
 
     # Adaptive rank packing: while the group count G is small, p in 2..5
-    # ranks fit one int32 key ((G+1)^p below the pad-key band), so each
-    # 2-key sort round covers 2p*k tokens instead of 2k — the early rounds
-    # multiply the depth at identical sort cost, with the p selected at
-    # runtime via `where` (shapes and the loop body stay static; no
-    # Mosaic-hostile wide sorts).  Padding slots get keys in the reserved
-    # top band (INT32_MAX - n, INT32_MAX] so they always sort last
+    # ranks fit one UNSIGNED 32-bit key ((G+1)^p below the pad-key band),
+    # so each 2-key sort round covers 2p*k tokens instead of 2k — the
+    # early rounds multiply the depth at identical sort cost, with the p
+    # selected at runtime via `where` (shapes and the loop body stay
+    # static; no Mosaic-hostile wide sorts).  uint32 keys (sorted
+    # unsigned) double the packable range over int31: p=5 engages up to
+    # B = 83 groups instead of 72 — DNA run-token alphabets measure ~74
+    # (64 MiB census), exactly the band this unlocks, so round one
+    # reaches 25-token depth with 5 keys instead of 24 with 6 (one fewer
+    # n-wide sort operand).  Padding slots get keys in the reserved top
+    # band (UINT32_MAX - n, UINT32_MAX] so they always sort last
     # whatever the packing.
-    lim = (1 << 31) - M - 2
+    lim = (1 << 32) - M - 2
     tp = {}
     for p in (2, 3, 4, 5):
         t = 1
         while (t + 1) ** p <= lim:
             t += 1
         tp[p] = t
-    pad_key1 = jnp.int32((1 << 31) - 1) - (M - 1 - iota_m)
+    pad_key1 = (jnp.uint32((1 << 32) - 1)
+                - (M - 1 - iota_m).astype(jnp.uint32))
 
     def packed_round(rank, k, nkeys: int = 2):
         """One doubling round covering nkeys*p tokens per sort.
@@ -374,33 +391,36 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         nkeys > 2 widens the lax.sort to nkeys+1 operands — safe ONLY for
         the round that runs OUTSIDE the while_loop (wide sorts inside a
         while_loop are a Mosaic compile cliff); the first round's deeper
-        coverage (e.g. 12 tokens at nkeys=3, p=4) finishes random text in
+        coverage (e.g. 25 tokens at nkeys=5, p=5) finishes random text in
         one round where two were needed.
         """
         B = jnp.max(jnp.where(iota_m < m, rank, -1)) + 2  # bound + 1 offset
+        Bu = B.astype(jnp.uint32)
 
         def sh(t):
             # shift by t*k, saturating at n (depth past the end reads all
             # -1 anyway); the where discards the wrapped product safely
             off = jnp.where(k > n // t, jnp.int32(n), t * k)
             return shifted(rank, off) + 1
-        r = [rank] + [sh(t) for t in range(1, 5 * nkeys)]
+        r = [rank.astype(jnp.uint32)] \
+            + [sh(t).astype(jnp.uint32) for t in range(1, 5 * nkeys)]
 
-        def pack(vals, B):
+        def pack(vals):
             acc = vals[0]
             for v in vals[1:]:
-                acc = acc * B + v        # wraps harmlessly when unselected
+                acc = acc * Bu + v       # wraps harmlessly when unselected
             return acc
         # deepest packing whose worst-case key stays below the pad band
         keys = [r[j] for j in range(nkeys)]
         mult = jnp.int32(nkeys)
         for p in (2, 3, 4, 5):
             ok = B <= tp[p]
-            keys = [jnp.where(ok, pack(r[j * p:(j + 1) * p], B), keys[j])
+            keys = [jnp.where(ok, pack(r[j * p:(j + 1) * p]), keys[j])
                     for j in range(nkeys)]
             mult = jnp.where(ok, jnp.int32(nkeys * p), mult)
         keys[0] = jnp.where(iota_m < m, keys[0], pad_key1)
-        keys[1:] = [jnp.where(iota_m < m, kk, 0) for kk in keys[1:]]
+        keys[1:] = [jnp.where(iota_m < m, kk, jnp.uint32(0))
+                    for kk in keys[1:]]
         rank, _, done = _sort_rerank_n(tuple(keys), iota_m)
         # k invariant: rank entering a round always orders by < n tokens
         # (depth >= n makes all ranks distinct, so done exits first); cap
@@ -446,7 +466,8 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         if starts_full is None:              # nr_mode == "fill" on CPU
             _, _, starts_full = jax.lax.sort(
                 ((~is_start).astype(jnp.int32), iota, iota), num_keys=2)
-        placed = jax.lax.sort((starts_full, nrank), num_keys=1)[1]
+        placed = jax.lax.sort((starts_full, nrank), num_keys=1,
+                              is_stable=False)[1]
         # placed in [-1, n); +1 keeps marked slots non-negative for the
         # fill, -1 marks non-start slots as transparent
         nr = fill_fwd_i32(jnp.where(is_start, placed + 1,
@@ -465,7 +486,8 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         for sym in syms:
             cp = cp + (s_prev >= jnp.uint8(sym)).astype(jnp.int32)
         packed_ib = (iota << 4) | cp
-        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2)
+        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2,
+                                is_stable=False)
         order = ob >> 4
         code = ob & 15
         bwt = jnp.zeros((n,), jnp.uint8)
@@ -475,7 +497,8 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         # fold (position, BWT byte) into one value operand — one fewer
         # n-wide operand in the final sort (fits int31 below 8 Mi)
         packed_ib = (iota << 8) | s_prev.astype(jnp.int32)
-        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2)
+        _, _, ob = jax.lax.sort((rank0, nr, packed_ib), num_keys=2,
+                                is_stable=False)
         order, bwt = ob >> 8, (ob & 255).astype(jnp.uint8)
     else:
         _, _, order, bwt = jax.lax.sort(
@@ -649,6 +672,21 @@ def max_run_length(s: np.ndarray, _chunk: int = 4 << 20) -> int:
     return max(best, carry)
 
 
+def runs_r1_keys(tab: np.ndarray | None) -> int | None:
+    """Round-one sort width for `_suffix_array_runs_jit` (host side).
+
+    With uint32 rank packing, the p=5 rung engages while the token
+    alphabet stays below ~82 groups — then 5 keys already order 25
+    tokens deep (past the measured ~21-token distinctness depth of
+    64 MiB genomic text), so the sixth key is a wasted n-wide sort
+    operand.  Wider alphabets keep 6 keys (6x4 = 24 deep via p=4).
+    None (unknown table) -> kernel default."""
+    if tab is None:
+        return None
+    entries = int(np.count_nonzero(np.asarray(tab) != (1 << 31) - 1))
+    return 5 if entries + 2 <= 80 else 6
+
+
 # k-mer seeding beats run seeding on run-free text (it starts ~7 symbols
 # deep); past this run length the extra doubling rounds always lose
 RUN_THRESHOLD = 64
@@ -688,7 +726,7 @@ def suffix_array_device(s, impl: str = "auto", with_bwt: bool = False,
         sa, bwt = _suffix_array_runs_jit(
             s_dev, syms=syms, m_pad=runs_m_pad(s),
             tok_table=None if tab is None else jnp.asarray(tab),
-            ell_bits=ebs)
+            ell_bits=ebs, r1_keys=runs_r1_keys(tab))
         return (sa, bwt) if with_bwt else sa
     table, bits = dense_table(np.unique(s))
     sa = _suffix_array_jit(s_dev, jnp.asarray(table), bits=bits)

@@ -61,13 +61,22 @@ def wavelet_level_words(bwt: jax.Array, codes: jax.Array, lens: jax.Array,
     return jnp.stack(rows)
 
 
-def node_bits_from_levels(levels: np.ndarray,
+def _level_bit_counts(shape: HSWTShape, maxlen: int) -> list[int]:
+    """Active bits per level (= sum of that level's node lengths)."""
+    counts = [0] * maxlen
+    for (L, p), ln in shape.node_lengths.items():
+        counts[L] += ln
+    return counts
+
+
+def node_bits_from_levels(levels,
                           shape: HSWTShape) -> dict[tuple[int, int], np.ndarray]:
     """Slice per-node packed bit vectors out of packed level words (host).
 
-    `levels` is the uint32 [maxlen, W] output of wavelet_level_words; node
-    boundaries fall at arbitrary bit offsets, extracted with one shift pass
-    per node (slice_packed_bits)."""
+    `levels` is the uint32 [maxlen, W] array (or a list of per-level
+    word rows) from wavelet_level_words; node boundaries fall at
+    arbitrary bit offsets, extracted with one shift pass per node
+    (slice_packed_bits)."""
     out: dict[tuple[int, int], np.ndarray] = {}
     by_level: dict[int, list[tuple[int, int]]] = {}
     for (L, p) in shape.nodes:
@@ -83,12 +92,25 @@ def node_bits_from_levels(levels: np.ndarray,
     return out
 
 
-def build_hswt_device(bwt_np: np.ndarray, shape: HSWTShape):
-    """BWT bytes -> {node: packed bits} via the device kernel."""
+def build_hswt_device(bwt, shape: HSWTShape):
+    """BWT bytes (host OR device array) -> {node: packed bits} via the
+    device kernel.
+
+    A device-resident `bwt` (e.g. the SA kernel's free BWT operand) is
+    consumed in place — no re-upload; each level row is fetched sliced
+    to its TRUE word count (level L holds only n_L = sum of its node
+    lengths bits), so the device->host transfer is ~total-code-bits/8
+    ~= 0.3 bytes/symbol instead of maxlen * n/8."""
     maxlen = int(shape.bit_lengths.max())
-    levels = np.asarray(wavelet_level_words(
-        jnp.asarray(bwt_np),
+    if not isinstance(bwt, jax.Array):
+        bwt = jnp.asarray(np.asarray(bwt, np.uint8))
+    levels_dev = wavelet_level_words(
+        bwt,
         jnp.asarray(shape.codes.astype(np.int32)),
         jnp.asarray(shape.bit_lengths.astype(np.int32)),
-        maxlen))
-    return node_bits_from_levels(levels, shape)
+        maxlen)
+    rows = []
+    for L, nbits in enumerate(_level_bit_counts(shape, maxlen)):
+        w = (nbits + 31) // 32
+        rows.append(np.asarray(levels_dev[L, :w]))
+    return node_bits_from_levels(rows, shape)
