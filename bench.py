@@ -196,12 +196,16 @@ def main() -> None:
 
     # hardware roofline context (VERDICT r4 #7): the SA kernel is a sort
     # cascade, so the honest "is it actually fast" yardstick is the
-    # chip's own raw 2-operand lax.sort rate at the same width.  The r4
-    # sort census (artifacts/PROBE_r4_sa64.log) puts the algorithm at ~9
-    # n-wide 2-operand sort-equivalents per block (seed+compact 2, round
-    # one 2, two doubling rounds 2x2, final 1), so
-    # sort_roofline_pct = 100 * 9 / (t_SA / t_raw_sort).
-    CENSUS_SORTS = 9
+    # chip's own raw 2-operand UNSTABLE lax.sort rate at the same width
+    # (the kernels sort unstable everywhere — stability costs XLA an
+    # implicit index-tiebreaker operand, measured +50% at 64 Mi).  The
+    # r5 census puts the 64 MiB index at ~8.4 such units — SA: compact
+    # 1.0 + round-one 6-operand 0.75n-wide 2.1 + rerank 0.75 + nr
+    # delivery 1.0 + final 3-operand 1.45, block build: mark partition +
+    # plane packing ~2.1 (each k-operand n'-wide sort counted as
+    # (1 + 0.45(k-2)) * n'/n units) — so
+    # sort_roofline_pct = 100 * 8.4 / (t_index / t_raw_sort).
+    CENSUS_SORTS = 8.4
     sort_extra = {}
     if platform != "cpu-fallback":
         try:
@@ -209,7 +213,7 @@ def main() -> None:
             sk = jnp.asarray(rng.integers(0, 1 << 30, sn).astype(np.int32))
             sv = jnp.arange(sn, dtype=jnp.int32)
             raw_sort = jax.jit(lambda k, v: _checksum(
-                jax.lax.sort((k, v), num_keys=1)))
+                jax.lax.sort((k, v), num_keys=1, is_stable=False)))
             int(np.asarray(raw_sort(sk, sv)))
             t_sort = timeit(raw_sort, sk, sv, repeat=2)
             sort_rate = sn / t_sort / 1e6

@@ -275,7 +275,10 @@ def prewarm_buckets(sizes: list[int], syms: tuple[int, ...] | None) -> list:
             # that; a block landing on another rung just misses warmup
             gb = max(1, (npad // 100).bit_length())
             ebs = next((r for r in ELL_BITS_LADDER if gb <= r), None)
-            fn = _single_sa(npad, syms, m_pad, True, ebs)
+            # r1_keys=5 matches runs_r1_keys for DNA-sized token tables
+            # (<= ~80 distinct run keys); a wider-alphabet block just
+            # misses the warmup
+            fn = _single_sa(npad, syms, m_pad, True, ebs, 5)
             fn.lower(
                 jax.ShapeDtypeStruct((npad,), jnp.uint8),
                 jax.ShapeDtypeStruct((TOK_TABLE_SIZE,), jnp.int32),

@@ -117,8 +117,8 @@ def test_prewarm_buckets_compiles_future_buckets(monkeypatch):
 
     monkeypatch.setattr(
         mesh, "_single_sa",
-        lambda npad, syms, m_pad=None, use_table=False, ell_bits=None:
-        _FakeJit(npad, m_pad, use_table))
+        lambda npad, syms, m_pad=None, use_table=False, ell_bits=None,
+        r1_keys=None: _FakeJit(npad, m_pad, use_table))
     small = 1 << 20
     big1, big2 = 20 << 20, 70 << 20
     threads = mesh.prewarm_buckets([small, big1, big2, big1],
