@@ -308,12 +308,21 @@ def main() -> None:
             ebs = runs_ell_bits(cdata)
             tab = runs_token_table(cdata, DNA_SYMBOLS, ell_bits=ebs)
             rk = runs_r1_keys(tab)
-            tdev = None if tab is None else jnp.asarray(tab)
+            if tab is None:
+                raise RuntimeError("no run-key table at chr1 scale")
+            tdev = jnp.asarray(tab)
+            # AOT lower+compile: the implicit jit dispatch path tripped
+            # the remote compile helper at this size; the explicit AOT
+            # path compiles reliably and shares the persistent cache
             sa_fn = jax.jit(lambda x, t: _suffix_array_runs_jit(
                 x, syms=DNA_SYMBOLS, m_pad=mp, tok_table=t, ell_bits=ebs,
-                r1_keys=rk))
+                r1_keys=rk)).lower(
+                jax.ShapeDtypeStruct((cn,), jnp.uint8),
+                jax.ShapeDtypeStruct((tab.shape[0],), jnp.int32)).compile()
             blk_fn = jax.jit(lambda bwt, sa: _checksum(
-                build_device_block_jit(bwt, sa, 5, DNA_SYMBOLS)))
+                build_device_block_jit(bwt, sa, 5, DNA_SYMBOLS))).lower(
+                jax.ShapeDtypeStruct((cn,), jnp.uint8),
+                jax.ShapeDtypeStruct((cn,), jnp.int32)).compile()
 
             def chr1_run(x):
                 sa, bwt = sa_fn(x, tdev)

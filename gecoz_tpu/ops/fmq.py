@@ -43,8 +43,13 @@ class DeviceFMBlock(NamedTuple):
     aux metadata so loop bounds stay concrete under jit)."""
 
     bwt: jax.Array          # uint8 [n] BWT bytes
-    plane_pairs: jax.Array  # uint32 [sigma*W, 2]: (bit words, rank prefix)
-                            # fused so one 2-wide gather serves an occ
+    plane_pairs: jax.Array  # uint32 [2*sigma*W] INTERLEAVED (bit word,
+                            # rank prefix) pairs, flat 1-D: one 2-wide
+                            # contiguous gather serves an occ.  Kept
+                            # rank-1 deliberately — a [N, 2] u32 output
+                            # gets XLA's T(8,128) tiled layout, padding
+                            # the minor dim to 128 (64x HBM, measured
+                            # 23 GiB at chr1 scale)
     c: jax.Array            # int32 [257] cumulative symbol counts
     sym_plane: jax.Array    # int32 [256] byte -> plane row (-1 if absent)
     wrap_row: jax.Array     # int32 [] row with SA value 0
@@ -344,7 +349,8 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
     inv[perm] = np.arange(len(perm), dtype=np.int32)
 
     pairs = np.stack([np.concatenate(planes),
-                      np.concatenate(pres).view(np.uint32)], axis=1)
+                      np.concatenate(pres).view(np.uint32)],
+                     axis=1).reshape(-1)
     return DeviceFMBlock(
         bwt=jnp.asarray(bwt),
         plane_pairs=jnp.asarray(pairs),
@@ -387,12 +393,11 @@ def build_device_block_parts_jit(bwt: jax.Array, mark_rows: jax.Array,
     n = bwt.shape[0]
     m = perm.shape[0]
 
-    bwt32 = bwt.astype(jnp.int32)
     planes, pres, totals = [], [], []
     sym_plane = np.full(256, -1, dtype=np.int32)
     for row, s in enumerate(symbols):
         sym_plane[s] = row
-        w, p = _plane_jit((bwt32 == s).astype(jnp.int32))
+        w, p = _plane_jit(bwt == jnp.uint8(s))
         planes.append(w)
         pres.append(p)
         totals.append(p[-1] + jax.lax.population_count(w[-1]).astype(
@@ -402,13 +407,20 @@ def build_device_block_parts_jit(bwt: jax.Array, mark_rows: jax.Array,
     c = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          jnp.cumsum(counts).astype(jnp.int32)])
 
-    marked = jnp.zeros((n,), jnp.int32).at[mark_rows].set(1)
+    marked = jnp.zeros((n,), jnp.uint8).at[mark_rows].set(1)
     mark_words, mark_pre = _plane_jit(marked)
     inv = jnp.zeros((m,), jnp.int32).at[perm].set(
         jnp.arange(m, dtype=jnp.int32))
 
-    pairs = jnp.stack([jnp.concatenate(planes),
-                       jnp.concatenate(pres).astype(jnp.uint32)], axis=1)
+    # interleave (word, pre) WITHOUT any rank-2 intermediate: a
+    # stack/reshape materializes u32[N, 2], which XLA lays out T(8,128)
+    # — the 2-wide minor dim pads to 128 (64x HBM; 23 GiB at chr1 scale,
+    # the round-5 OOM).  The rank-1 where/gather form stays dense.
+    words_all = jnp.concatenate(planes)
+    pres_all = jnp.concatenate(pres).astype(jnp.uint32)
+    iota2 = jnp.arange(2 * words_all.shape[0], dtype=jnp.int32)
+    half = iota2 >> 1
+    pairs = jnp.where((iota2 & 1) == 0, words_all[half], pres_all[half])
     return DeviceFMBlock(
         bwt=bwt, plane_pairs=pairs,
         c=c, sym_plane=jnp.asarray(sym_plane),
@@ -457,14 +469,23 @@ def fetch_text_packed(text_dev, symbols: tuple[int, ...], n: int
 
 
 def _pack_bits_jit(bits: jax.Array) -> jax.Array:
-    """0/1 int32 [n] -> uint32 words [ceil(n/32)], LSB-first (on device)."""
+    """0/1 (any int/bool dtype) [n] -> uint32 words [ceil(n/32)],
+    LSB-first (on device).
+
+    Packs through uint8 BYTES first: the straight [n] -> [W, 32] uint32
+    weighted reduce kept 4-byte-per-bit temps live and blew the 248 MiB
+    block-build program past HBM (measured: ~25 GB plan); the byte stage
+    keeps every n-wide temp at 1 byte/bit."""
     n = bits.shape[0]
     W = (n + 31) // 32
     pad = W * 32 - n
-    b = jnp.concatenate([bits, jnp.zeros((pad,), bits.dtype)]).reshape(W, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(b.astype(jnp.uint32) * weights[None, :], axis=1,
-                   dtype=jnp.uint32)
+    b8 = bits.astype(jnp.uint8)
+    if pad:
+        b8 = jnp.concatenate([b8, jnp.zeros((pad,), jnp.uint8)])
+    weights8 = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    by = jnp.sum(b8.reshape(W * 4, 8) * weights8[None, :], axis=1,
+                 dtype=jnp.uint8).reshape(W, 4).astype(jnp.uint32)
+    return by[:, 0] | (by[:, 1] << 8) | (by[:, 2] << 16) | (by[:, 3] << 24)
 
 
 def _plane_jit(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -488,14 +509,13 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
     rate = 1 << sf
     m = (n + rate - 1) // rate
 
-    bwt32 = bwt.astype(jnp.int32)
     planes = []
     pres = []
     totals = []
     sym_plane = np.full(256, -1, dtype=np.int32)
     for row, s in enumerate(symbols):
         sym_plane[s] = row
-        w, p = _plane_jit((bwt32 == s).astype(jnp.int32))
+        w, p = _plane_jit(bwt == jnp.uint8(s))
         planes.append(w)
         pres.append(p)
         totals.append(p[-1] + jax.lax.population_count(w[-1]).astype(
@@ -508,7 +528,7 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
                          jnp.cumsum(counts).astype(jnp.int32)])
 
     marked = (sa & (rate - 1)) == 0
-    mark_words, mark_pre = _plane_jit(marked.astype(jnp.int32))
+    mark_words, mark_pre = _plane_jit(marked)
     if _scatter_is_cheap():
         (rows,) = jnp.nonzero(marked, size=m, fill_value=0)
         perm = (sa[rows] >> sf).astype(jnp.int32)
@@ -529,8 +549,15 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)
 
-    pairs = jnp.stack([jnp.concatenate(planes),
-                       jnp.concatenate(pres).astype(jnp.uint32)], axis=1)
+    # interleave (word, pre) WITHOUT any rank-2 intermediate: a
+    # stack/reshape materializes u32[N, 2], which XLA lays out T(8,128)
+    # — the 2-wide minor dim pads to 128 (64x HBM; 23 GiB at chr1 scale,
+    # the round-5 OOM).  The rank-1 where/gather form stays dense.
+    words_all = jnp.concatenate(planes)
+    pres_all = jnp.concatenate(pres).astype(jnp.uint32)
+    iota2 = jnp.arange(2 * words_all.shape[0], dtype=jnp.int32)
+    half = iota2 >> 1
+    pairs = jnp.where((iota2 & 1) == 0, words_all[half], pres_all[half])
     return DeviceFMBlock(
         bwt=bwt, plane_pairs=pairs,
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
@@ -562,7 +589,9 @@ def occ_inclusive(block: DeviceFMBlock, syms, pos):
     safe_row = jnp.maximum(row, 0)
     p = jnp.maximum(pos, 0)
     w = p >> 5
-    pair = block.plane_pairs[safe_row * block.W + w]
+    base = (safe_row * block.W + w) * 2
+    pair = block.plane_pairs[base[..., None]
+                             + jnp.arange(2, dtype=base.dtype)]
     word = pair[..., 0]
     pre = pair[..., 1].astype(jnp.int32)
     mask = (jnp.uint32(2) << (p & 31).astype(jnp.uint32)) - jnp.uint32(1)
@@ -603,7 +632,7 @@ def with_kmer_table(block: DeviceFMBlock, k: int | None = None
     """
     if block.n == 0 or block.has_kmer:
         return block
-    nplanes = block.plane_pairs.shape[0] // max(block.W, 1)
+    nplanes = block.plane_pairs.shape[0] // (2 * max(block.W, 1))
     bits = max(1, (nplanes - 1).bit_length())
     if k is None:
         # table capped at ~2^19 rows for small blocks, 2^24 for blocks

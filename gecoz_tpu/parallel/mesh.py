@@ -135,7 +135,7 @@ def _state_fn(npad: int, n: int, sf: int):
         # byte is data[n-1] — an unconditional fix, correct in all cases
         bwt = jnp.where(sa == 0, last_byte.astype(jnp.uint8), bwt)
         marked = (sa & (rate - 1)) == 0
-        mark_words = _pack_bits_jit(marked.astype(jnp.int32))
+        mark_words = _pack_bits_jit(marked)
         iota_n = jnp.arange(n, dtype=jnp.int32)
         pkey = ((~marked).astype(jnp.int32) << 30) | iota_n
         _, perm = jax.lax.sort((pkey, sa >> sf), num_keys=1,
