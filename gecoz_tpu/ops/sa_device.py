@@ -385,7 +385,7 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
     pad_key1 = (jnp.uint32((1 << 32) - 1)
                 - (M - 1 - iota_m).astype(jnp.uint32))
 
-    def packed_round(rank, k, nkeys: int = 2):
+    def packed_round(rank, k, nkeys: int = 2, carry=None):
         """One doubling round covering nkeys*p tokens per sort.
 
         nkeys > 2 widens the lax.sort to nkeys+1 operands — safe ONLY for
@@ -393,6 +393,12 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         while_loop are a Mosaic compile cliff); the first round's deeper
         coverage (e.g. 25 tokens at nkeys=5, p=5) finishes random text in
         one round where two were needed.
+
+        With `carry`, one extra value operand rides the sort and the
+        SORT-ORDER results come back instead of position-order ranks:
+        ((ranks_in_order, order, carry_sorted), k', done) — the
+        fast-delivery round one (see below) consumes these directly and
+        skips the rerank sort entirely when `done`.
         """
         B = jnp.max(jnp.where(iota_m < m, rank, -1)) + 2  # bound + 1 offset
         Bu = B.astype(jnp.uint32)
@@ -421,12 +427,25 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         keys[0] = jnp.where(iota_m < m, keys[0], pad_key1)
         keys[1:] = [jnp.where(iota_m < m, kk, jnp.uint32(0))
                     for kk in keys[1:]]
-        rank, _, done = _sort_rerank_n(tuple(keys), iota_m)
         # k invariant: rank entering a round always orders by < n tokens
         # (depth >= n makes all ranks distinct, so done exits first); cap
         # the multiplier where k*mult could wrap int32 (k*2 never can)
         mult = jnp.where(k > ((1 << 31) - 1) // (5 * nkeys), 2, mult)
-        return rank, k * mult, done
+        if carry is None:
+            rank, _, done = _sort_rerank_n(tuple(keys), iota_m)
+            return rank, k * mult, done
+        from gecoz_tpu.ops.scan_pallas import cumsum_i32
+        out = jax.lax.sort(tuple(keys) + (iota_m, carry),
+                           num_keys=nkeys, is_stable=False)
+        ks, order, cs = out[:nkeys], out[nkeys], out[nkeys + 1]
+        diff = jnp.zeros((M - 1,), jnp.bool_)
+        for kk in ks:
+            diff = diff | (kk[1:] != kk[:-1])
+        new_group = jnp.concatenate([
+            jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)])
+        rio = cumsum_i32(new_group) - 1
+        done = rio[M - 1] == M - 1
+        return (rio, order, cs), k * mult, done
 
     def body(state):
         rank, k, _ = state
@@ -445,36 +464,88 @@ def _suffix_array_runs_jit(s: jax.Array, nr_mode: str = "auto",
         # (3-op sort + rerank) round.  Wide sorts are safe here because
         # round 1 runs OUTSIDE the while_loop (see packed_round).
         r1_keys = int(os.environ.get("GECOZ_R1_KEYS", "6"))
-    rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=r1_keys)
-    rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, k1, done1 | done0))
+    fast_ok = (starts_full is not None and nr_mode != "gather"
+               and not _scatter_is_cheap())
+    if fast_ok:
+        # FAST-PATH DELIVERY (round-5): round one carries the delivery
+        # key sfm1[j] = starts_full[j-1] as a value operand, so when its
+        # ranks come out all-distinct (the common case — 25-token depth
+        # vs the ~21-token distinctness depth of 64 Mi genomic text) the
+        # next-run rank reaches its run-start position with ONE n-wide
+        # 2-operand sort: sort-output r carries (K = starts_full[
+        # order[r]-1], rank-of-token-order[r]) — exactly "deliver
+        # rank[j+1] to position starts_full[j]".  That replaces the
+        # rerank sort (0.8 units) + the n-wide placed sort (1.0) of the
+        # old chain.  The slow branch (ties survive round one) runs the
+        # classic rerank + while_loop + placed chain inside lax.cond.
+        sfm1 = jnp.roll(starts_full[:M], 1)
+        (rio, order1, K), k1, done1 = packed_round(
+            tok, jnp.int32(1), nkeys=r1_keys, carry=sfm1)
+        # when done0 (seed ranks already distinct) nr is never consulted
+        # by the final sort, so the fast branch's output is acceptable
+        pred = jnp.logical_or(done1, done0)
 
-    # rank of the *next* run's start suffix, broadcast over each run
-    nrank = shifted(rank, 1)
-    if M < n:
-        # back to n-length for the position-space placed sort / gather
-        # (slots >= m are garbage either way; masked by is_start below)
-        nrank = jnp.concatenate([nrank, jnp.full((n - M,), -1, jnp.int32)])
-    use_fill = (starts_full is not None and nr_mode != "gather") \
-        or nr_mode == "fill"
-    if use_fill:
-        # TPU: random gathers cost ~30ms/4Mi while a 1-key sort is ~8ms
-        # and a streaming scan ~2ms (tools/probe_nr.py).  Placement sort
-        # lands nrank[j] at the j-th run start; the run-wide broadcast is
-        # ONE segmented forward fill (scan op "last": nearest marked
-        # value at or before each position wins).
-        if starts_full is None:              # nr_mode == "fill" on CPU
-            _, _, starts_full = jax.lax.sort(
-                ((~is_start).astype(jnp.int32), iota, iota), num_keys=2)
-        placed = jax.lax.sort((starts_full, nrank), num_keys=1,
-                              is_stable=False)[1]
-        # placed in [-1, n); +1 keeps marked slots non-negative for the
-        # fill, -1 marks non-start slots as transparent
+        def fast(_):
+            # order1 == 0 wraps to starts_full[M-1]: when m == M that IS
+            # the last run's start, whose next-run rank must be -1 (end
+            # of text sorts first); pad tokens (order1 >= m) deliver -1
+            # to masked slots anyway
+            vals = jnp.where((order1 >= m) | (order1 == 0),
+                             jnp.int32(-1), rio)
+            K_full = jnp.concatenate([K, starts_full[M:]])
+            vals_full = jnp.concatenate(
+                [vals, jnp.full((n - M,), -1, jnp.int32)])
+            return jax.lax.sort((K_full, vals_full), num_keys=1,
+                                is_stable=False)[1]
+
+        def slow(_):
+            rank = apply_perm(order1, rio)
+            rank, _, _ = jax.lax.while_loop(
+                cond, body, (rank, k1, jnp.asarray(False)))
+            nrank = shifted(rank, 1)
+            nrank_n = (jnp.concatenate(
+                [nrank, jnp.full((n - M,), -1, jnp.int32)])
+                if M < n else nrank)
+            return jax.lax.sort((starts_full, nrank_n), num_keys=1,
+                                is_stable=False)[1]
+
+        placed = jax.lax.cond(pred, fast, slow, None)
         nr = fill_fwd_i32(jnp.where(is_start, placed + 1,
                                     jnp.int32(-1))) - 1
     else:
-        # one monotone gather by run id (the only gather in the algorithm)
-        nr = nrank[run_id]
+        rank, k1, done1 = packed_round(tok, jnp.int32(1), nkeys=r1_keys)
+        rank, _, _ = jax.lax.while_loop(
+            cond, body, (rank, k1, done1 | done0))
+
+        # rank of the *next* run's start suffix, broadcast over each run
+        nrank = shifted(rank, 1)
+        if M < n:
+            # back to n-length for the position-space placed sort/gather
+            # (slots >= m are garbage either way; masked by is_start)
+            nrank = jnp.concatenate(
+                [nrank, jnp.full((n - M,), -1, jnp.int32)])
+        use_fill = (starts_full is not None and nr_mode != "gather") \
+            or nr_mode == "fill"
+        if use_fill:
+            # TPU: random gathers cost ~30ms/4Mi while a 1-key sort is
+            # ~8ms and a streaming scan ~2ms (tools/probe_nr.py).
+            # Placement sort lands nrank[j] at the j-th run start; the
+            # run-wide broadcast is ONE segmented forward fill (scan op
+            # "last": nearest marked value at or before each position
+            # wins).
+            if starts_full is None:          # nr_mode == "fill" on CPU
+                _, _, starts_full = jax.lax.sort(
+                    ((~is_start).astype(jnp.int32), iota, iota),
+                    num_keys=2)
+            placed = jax.lax.sort((starts_full, nrank), num_keys=1,
+                                  is_stable=False)[1]
+            # placed in [-1, n); +1 keeps marked slots non-negative for
+            # the fill, -1 marks non-start slots as transparent
+            nr = fill_fwd_i32(jnp.where(is_start, placed + 1,
+                                        jnp.int32(-1))) - 1
+        else:
+            # one monotone gather by run id (the only gather here)
+            nr = nrank[run_id]
 
     s_prev = jnp.concatenate([s[n - 1:], s[:n - 1]])
     if pack_seed and n < (1 << 27):

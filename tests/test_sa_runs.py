@@ -311,3 +311,41 @@ def test_pipeline_sa_impl_round_trip(rng):
     for impl in ("runs", "kmer"):
         blk = with_lf_table(index_block(jnp.asarray(s), sa_impl=impl))
         assert np.array_equal(np.asarray(decode_text_jit(blk)), s), impl
+
+
+def test_fast_slow_delivery_paths(rng, monkeypatch):
+    """Round-5 fast-path delivery (next-run rank delivered via the
+    round-one carry + one sort) AND its slow branch (ties survive round
+    one -> classic rerank + while_loop + placed chain inside lax.cond)
+    are both bit-exact under the forced TPU sort strategy, with and
+    without the host token table."""
+    from gecoz_tpu.ops import sa_device
+    from gecoz_tpu.ops.sa_device import (runs_ell_bits, runs_m_pad,
+                                         runs_token_table)
+    monkeypatch.setattr(sa_device, "_scatter_is_cheap", lambda: False)
+    jax.clear_caches()
+    try:
+        # periodic text -> periodic token string: repeated contexts far
+        # past round one's packed depth force the SLOW branch
+        s_slow = np.frombuffer(b"AC" * 3000 + b"GT\0", np.uint8)
+        # random text finishes in round one -> FAST branch
+        s_fast = rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                            size=4097).astype(np.uint8)
+        s_fast[-1] = 0
+        for s in (s_slow, s_fast):
+            syms = tuple(int(x) for x in np.unique(s))
+            ebs = runs_ell_bits(s)
+            tab = runs_token_table(s, syms, ell_bits=ebs)
+            want = suffix_array_numpy(s)
+            from gecoz_tpu.ops.sa import bwt_from_sa
+            for use_tab in (False, True):
+                t = None if (not use_tab or tab is None) \
+                    else jnp.asarray(tab)
+                sa, bwt = sa_device._suffix_array_runs_jit(
+                    jnp.asarray(s), syms=syms, m_pad=runs_m_pad(s),
+                    tok_table=t, ell_bits=ebs)
+                assert np.array_equal(np.asarray(sa), want), use_tab
+                assert np.array_equal(np.asarray(bwt),
+                                      bwt_from_sa(s, want))
+    finally:
+        jax.clear_caches()
