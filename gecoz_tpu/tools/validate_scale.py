@@ -148,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--backend", default="auto")
     ap.add_argument("-t", "--threads", type=int, default=1)
     a = ap.parse_args(argv)
+    # surface the gecoz INFO stream (phase timings + the transport-aware
+    # dispatch decisions of utils/accel) in scale artifacts
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s:%(name)s: %(message)s")
+    logging.getLogger("gecoz").setLevel(logging.INFO)
     mb = a.mb if a.mb is not None else (248 if a.profile == "hg38" else 192)
     outdir = a.out or Path("/tmp/gcz_scale")
     outdir.mkdir(parents=True, exist_ok=True)
