@@ -236,8 +236,9 @@ def pack_nibbles_device(text, symbols: tuple[int, ...]):
         code = jnp.where(text == jnp.uint8(s), jnp.uint8(i), code)
     if n % 2:
         code = jnp.concatenate([code, jnp.zeros((1,), jnp.uint8)])
-    pairs = code.reshape(-1, 2)
-    return pairs[:, 0] | (pairs[:, 1] << 4)
+    # strided slices, not a [P, 2] reshape (rank-2 u8 tiles 64x, see
+    # pack_device above)
+    return code[0::2] | (code[1::2] << 4)
 
 
 def unpack_nibbles_host(packed: np.ndarray, symbols: tuple[int, ...],
