@@ -121,20 +121,27 @@ def device_hbm_bytes() -> int | None:
 # -- transport-aware tier choice (VERDICT r4 #1a) ---------------------------
 #
 # Measured rates anchoring the cost model (all artifact-cited):
-#   device encode kernel  ~30 MB/s flat 64-248 MiB (SCALE_r4_device_sa.log)
+#   device encode kernel  ~30-45 MB/s flat 64-248 MiB (BENCH_r5b,
+#                         SCALE_r4_device_sa.log)
 #   host tier encode      ~3.6 MB/s at hg38 scale  (SCALE_r4_hg38_host.log)
-#   device decode kernel  ~650 MB/s                (BENCH_r04 large_decode)
+#   device decode kernel  ~650 MB/s                (BENCH_r5b large_decode)
 #   host decode           ~9.6 MB/s at hg38 scale  (SCALE_r4_hg38_host.log)
-#   packed wire ratio     ~3.3x (2-bit + exceptions, utils/xfer.py)
+# Wire bytes per text byte (the minimal-wire pipeline, utils/xfer +
+# parallel/mesh.index_states_batched + fmq packed lift/fetch):
+#   encode: ~0.29 up (2-bit + run exceptions) + ~0.55 down (mark bits
+#           n/8 + sampled values n/8 + wavelet node bits ~0.3n) = 0.84
+#   decode: ~0.54 up (packed BWT + the two .gcx arrays) + 0.50 down
+#           (4-bit nibble text fetch) = 1.04
 # The model is deliberately coarse — its job is the order-of-magnitude
 # call ("is a 2 MB/s relay slower than encoding on host?"), and every
 # decision is logged with its inputs so scale artifacts show WHY a tier
-# was picked.
+# was picked.  Break-even transports: encode ~3.4 MB/s, decode ~10 MB/s.
 DEVICE_ENCODE_MBPS = 30.0
 HOST_ENCODE_MBPS = 3.6
 DEVICE_DECODE_MBPS = 650.0
 HOST_DECODE_MBPS = 9.6
-PACK_RATIO = 3.3
+ENCODE_WIRE_RATIO = 0.84
+DECODE_WIRE_RATIO = 1.04
 
 
 def _log_choice(kind: str, nbytes: int, dev_s: float, host_s: float,
@@ -155,20 +162,20 @@ def encode_device_wins(nbytes: int) -> bool:
     if t is None or nbytes <= 0:
         return True
     mb = nbytes / 1e6
-    dev = mb / DEVICE_ENCODE_MBPS + mb / PACK_RATIO / t
+    dev = mb / DEVICE_ENCODE_MBPS + mb * ENCODE_WIRE_RATIO / t
     host = mb / HOST_ENCODE_MBPS
     _log_choice("encode", nbytes, dev, host, t)
     return dev < host
 
 
 def decode_device_wins(nbytes: int) -> bool:
-    """Device tier beats the host tier for a full-text decode: the wire
-    cost is TWO packed trips (BWT + query state up, text down)."""
+    """Device tier beats the host tier for a full-text decode: packed
+    BWT + .gcx arrays up, nibble-packed text down."""
     t = transport_MBps()
     if t is None or nbytes <= 0:
         return True
     mb = nbytes / 1e6
-    dev = mb / DEVICE_DECODE_MBPS + 2 * mb / PACK_RATIO / t
+    dev = mb / DEVICE_DECODE_MBPS + mb * DECODE_WIRE_RATIO / t
     host = mb / HOST_DECODE_MBPS
     _log_choice("decode", nbytes, dev, host, t)
     return dev < host

@@ -73,20 +73,20 @@ def test_slice_packed_bits_matches_unpack_repack():
 
 def test_transport_aware_dispatch(monkeypatch):
     """The auto tier must route around a slow relay (VERDICT r4 #1a):
-    with a measured ~2 MB/s transport the encode still wins on device
-    (packed wire + 30 MB/s kernel beats the 3.6 MB/s host tier), but the
-    decode does NOT (two wire trips vs a 9.6 MB/s host decode); on a
-    crawling link both lose; unknown transport keeps legacy behavior."""
+    break-even transports are ~3.4 MB/s (encode) and ~10 MB/s (decode)
+    per the measured wire ratios — a ~2 MB/s relay loses both to the
+    host tier, a 5 MB/s link wins encode only, a fast interconnect wins
+    both; unknown transport keeps legacy behavior."""
     from gecoz_tpu.utils import accel
 
     n = 256 << 20
     monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "2.0")
     assert accel.transport_MBps() == 2.0
-    assert accel.encode_device_wins(n)
+    assert not accel.encode_device_wins(n)
     assert not accel.decode_device_wins(n)
 
-    monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "0.3")
-    assert not accel.encode_device_wins(n)
+    monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "5.0")
+    assert accel.encode_device_wins(n)
     assert not accel.decode_device_wins(n)
 
     monkeypatch.setenv("GECOZ_TRANSPORT_MBPS", "1000")
