@@ -43,13 +43,17 @@ class DeviceFMBlock(NamedTuple):
     aux metadata so loop bounds stay concrete under jit)."""
 
     bwt: jax.Array          # uint8 [n] BWT bytes
-    plane_pairs: jax.Array  # uint32 [2*sigma*W] INTERLEAVED (bit word,
-                            # rank prefix) pairs, flat 1-D: one 2-wide
-                            # contiguous gather serves an occ.  Kept
-                            # rank-1 deliberately — a [N, 2] u32 output
-                            # gets XLA's T(8,128) tiled layout, padding
-                            # the minor dim to 128 (64x HBM, measured
-                            # 23 GiB at chr1 scale)
+    plane_pairs: jax.Array  # fused (word, prefix) pairs u32 [sigma*W,2]
+                            # for blocks under _PAIR_LIMIT: one 8-byte
+                            # row gather per occ (fastest search), at the
+                            # cost of XLA's T(8,128) tile padding the
+                            # 2-wide minor dim 64x — affordable small,
+                            # 23 GiB at chr1 scale.  Empty [0, 2] for
+                            # large blocks, which use the flat arrays:
+    plane_words: jax.Array  # uint32 [sigma*W] flat bit words (empty for
+                            # small blocks)
+    plane_pres: jax.Array   # uint32 [sigma*W] per-word exclusive rank
+                            # prefixes; occ = two plain 4-byte gathers
     c: jax.Array            # int32 [257] cumulative symbol counts
     sym_plane: jax.Array    # int32 [256] byte -> plane row (-1 if absent)
     wrap_row: jax.Array     # int32 [] row with SA value 0
@@ -128,6 +132,10 @@ jax.tree_util.register_pytree_node(
 
 
 _PACK_LIMIT = 1 << 23    # lf values below this pack with the symbol in u32
+# blocks under this build the FUSED (word, pre) pair table (fast occ,
+# 64x-tiled HBM: ~12 bytes/char); above it the flat arrays (2 gathers,
+# ~1.5 bytes/char) keep chr1-class query state inside HBM
+_PAIR_LIMIT = 1 << 24
 
 
 def _corrected_lf(block: DeviceFMBlock) -> jax.Array:
@@ -348,12 +356,17 @@ def build_device_block(bwt: np.ndarray, sampled_rows: np.ndarray,
     inv = np.zeros(len(perm), dtype=np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
 
-    pairs = np.stack([np.concatenate(planes),
-                      np.concatenate(pres).view(np.uint32)],
-                     axis=1).reshape(-1)
+    words_np = np.concatenate(planes)
+    pres_np = np.concatenate(pres).view(np.uint32)
+    if n < _PAIR_LIMIT:
+        pairs = jnp.asarray(np.stack([words_np, pres_np], axis=1))
+        wd, pr = jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32)
+    else:
+        pairs = jnp.zeros((0, 2), jnp.uint32)
+        wd, pr = jnp.asarray(words_np), jnp.asarray(pres_np)
     return DeviceFMBlock(
         bwt=jnp.asarray(bwt),
-        plane_pairs=jnp.asarray(pairs),
+        plane_pairs=pairs, plane_words=wd, plane_pres=pr,
         c=jnp.asarray(c.astype(np.int32)),
         sym_plane=jnp.asarray(sym_plane),
         wrap_row=jnp.asarray(np.int32(wrap_row)),
@@ -412,17 +425,18 @@ def build_device_block_parts_jit(bwt: jax.Array, mark_rows: jax.Array,
     inv = jnp.zeros((m,), jnp.int32).at[perm].set(
         jnp.arange(m, dtype=jnp.int32))
 
-    # interleave (word, pre) WITHOUT any rank-2 intermediate: a
-    # stack/reshape materializes u32[N, 2], which XLA lays out T(8,128)
-    # — the 2-wide minor dim pads to 128 (64x HBM; 23 GiB at chr1 scale,
-    # the round-5 OOM).  The rank-1 where/gather form stays dense.
     words_all = jnp.concatenate(planes)
     pres_all = jnp.concatenate(pres).astype(jnp.uint32)
-    iota2 = jnp.arange(2 * words_all.shape[0], dtype=jnp.int32)
-    half = iota2 >> 1
-    pairs = jnp.where((iota2 & 1) == 0, words_all[half], pres_all[half])
+    if n < _PAIR_LIMIT:
+        pairs_v = jnp.stack([words_all, pres_all], axis=1)
+        words_v = jnp.zeros((0,), jnp.uint32)
+        pres_v = jnp.zeros((0,), jnp.uint32)
+    else:
+        pairs_v = jnp.zeros((0, 2), jnp.uint32)
+        words_v, pres_v = words_all, pres_all
     return DeviceFMBlock(
-        bwt=bwt, plane_pairs=pairs,
+        bwt=bwt, plane_pairs=pairs_v, plane_words=words_v,
+        plane_pres=pres_v,
         c=c, sym_plane=jnp.asarray(sym_plane),
         wrap_row=wrap_row.astype(jnp.int32),
         mark_words=mark_words, mark_pre=mark_pre,
@@ -470,22 +484,16 @@ def fetch_text_packed(text_dev, symbols: tuple[int, ...], n: int
 
 def _pack_bits_jit(bits: jax.Array) -> jax.Array:
     """0/1 (any int/bool dtype) [n] -> uint32 words [ceil(n/32)],
-    LSB-first (on device).
-
-    Packs through uint8 BYTES first: the straight [n] -> [W, 32] uint32
-    weighted reduce kept 4-byte-per-bit temps live and blew the 248 MiB
-    block-build program past HBM (measured: ~25 GB plan); the byte stage
-    keeps every n-wide temp at 1 byte/bit."""
+    LSB-first (on device)."""
     n = bits.shape[0]
     W = (n + 31) // 32
     pad = W * 32 - n
-    b8 = bits.astype(jnp.uint8)
+    b = bits.astype(jnp.uint32)
     if pad:
-        b8 = jnp.concatenate([b8, jnp.zeros((pad,), jnp.uint8)])
-    weights8 = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
-    by = jnp.sum(b8.reshape(W * 4, 8) * weights8[None, :], axis=1,
-                 dtype=jnp.uint8).reshape(W, 4).astype(jnp.uint32)
-    return by[:, 0] | (by[:, 1] << 8) | (by[:, 2] << 16) | (by[:, 3] << 24)
+        b = jnp.concatenate([b, jnp.zeros((pad,), jnp.uint32)])
+    b = b.reshape(W, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(b * weights[None, :], axis=1, dtype=jnp.uint32)
 
 
 def _plane_jit(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -549,17 +557,18 @@ def build_device_block_jit(bwt: jax.Array, sa: jax.Array, sf: int,
         jnp.arange(m, dtype=jnp.int32))
     wrap = jnp.argmax(sa == 0).astype(jnp.int32)
 
-    # interleave (word, pre) WITHOUT any rank-2 intermediate: a
-    # stack/reshape materializes u32[N, 2], which XLA lays out T(8,128)
-    # — the 2-wide minor dim pads to 128 (64x HBM; 23 GiB at chr1 scale,
-    # the round-5 OOM).  The rank-1 where/gather form stays dense.
     words_all = jnp.concatenate(planes)
     pres_all = jnp.concatenate(pres).astype(jnp.uint32)
-    iota2 = jnp.arange(2 * words_all.shape[0], dtype=jnp.int32)
-    half = iota2 >> 1
-    pairs = jnp.where((iota2 & 1) == 0, words_all[half], pres_all[half])
+    if n < _PAIR_LIMIT:
+        pairs_v = jnp.stack([words_all, pres_all], axis=1)
+        words_v = jnp.zeros((0,), jnp.uint32)
+        pres_v = jnp.zeros((0,), jnp.uint32)
+    else:
+        pairs_v = jnp.zeros((0, 2), jnp.uint32)
+        words_v, pres_v = words_all, pres_all
     return DeviceFMBlock(
-        bwt=bwt, plane_pairs=pairs,
+        bwt=bwt, plane_pairs=pairs_v, plane_words=words_v,
+        plane_pres=pres_v,
         c=c, sym_plane=jnp.asarray(sym_plane), wrap_row=wrap,
         mark_words=mark_words, mark_pre=mark_pre, mark_rows=mark_rows,
         ssa_perm=perm, ssa_inv=inv,
@@ -589,11 +598,16 @@ def occ_inclusive(block: DeviceFMBlock, syms, pos):
     safe_row = jnp.maximum(row, 0)
     p = jnp.maximum(pos, 0)
     w = p >> 5
-    base = (safe_row * block.W + w) * 2
-    pair = block.plane_pairs[base[..., None]
-                             + jnp.arange(2, dtype=base.dtype)]
-    word = pair[..., 0]
-    pre = pair[..., 1].astype(jnp.int32)
+    base = safe_row * block.W + w
+    if block.plane_pairs.shape[0]:
+        # fused pairs: ONE 8-byte row gather per occ
+        pair = block.plane_pairs[base]
+        word = pair[..., 0]
+        pre = pair[..., 1].astype(jnp.int32)
+    else:
+        # large blocks: two plain 4-byte gathers from the flat arrays
+        word = block.plane_words[base]
+        pre = block.plane_pres[base].astype(jnp.int32)
     mask = (jnp.uint32(2) << (p & 31).astype(jnp.uint32)) - jnp.uint32(1)
     cnt = pre + jax.lax.population_count(word & mask).astype(jnp.int32)
     return jnp.where((pos < 0) | (row < 0), 0, cnt)
@@ -632,7 +646,8 @@ def with_kmer_table(block: DeviceFMBlock, k: int | None = None
     """
     if block.n == 0 or block.has_kmer:
         return block
-    nplanes = block.plane_pairs.shape[0] // (2 * max(block.W, 1))
+    nplanes = (block.plane_pairs.shape[0]
+               or block.plane_words.shape[0]) // max(block.W, 1)
     bits = max(1, (nplanes - 1).bit_length())
     if k is None:
         # table capped at ~2^19 rows for small blocks, 2^24 for blocks

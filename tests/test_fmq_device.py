@@ -215,3 +215,40 @@ def test_locate_table_after_lf_table(rng):
     rows = rng.integers(0, len(data), size=200).astype(np.int32)
     got = np.asarray(fmq.locate_batch(both, jnp.asarray(rows)))
     assert np.array_equal(got, sa[rows])
+
+
+def test_flat_plane_state_matches_fused(rng, monkeypatch):
+    """Large blocks use flat word/prefix arrays instead of the fused
+    pair table (the [N, 2] tile tax, see DeviceFMBlock); both layouts
+    must answer identically.  _PAIR_LIMIT is patched down so the flat
+    branch runs at test size."""
+    import jax
+    import jax.numpy as jnp
+
+    from gecoz_tpu.ops import fmq
+    from gecoz_tpu.ops.pipeline import index_block
+
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=5000)
+    s[-1] = 0
+    syms = tuple(int(x) for x in np.unique(s))
+    blk_fused = index_block(jnp.asarray(s), symbols=syms)
+    assert blk_fused.plane_pairs.shape[0] > 0
+    monkeypatch.setattr(fmq, "_PAIR_LIMIT", 1)
+    jax.clear_caches()
+    try:
+        blk_flat = index_block(jnp.asarray(s), symbols=syms)
+        assert blk_flat.plane_pairs.shape[0] == 0
+        assert blk_flat.plane_words.shape[0] > 0
+        pats = np.stack([s[i:i + 8] for i in range(0, 512, 8)]).astype(
+            np.uint8)
+        lens = np.full(len(pats), 8, np.int32)
+        a = fmq.search_batch(blk_fused, jnp.asarray(pats),
+                             jnp.asarray(lens))
+        b = fmq.search_batch(blk_flat, jnp.asarray(pats),
+                             jnp.asarray(lens))
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        assert np.array_equal(
+            np.asarray(fmq.decode_text_jit(blk_flat)), s)
+    finally:
+        jax.clear_caches()
